@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The container's sitecustomize imports jax (for the axon TPU relay) before
+# this file runs, baking JAX_PLATFORMS=axon into jax.config; override the
+# already-imported config so tests run on the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,266 @@
+"""Blob response chain on the flat field grid.
+
+TPU-first equivalents of the reference's gradient/SAT/circularity/extraction
+OpenCL kernels:
+
+* gradient ring response  — kernel/gradientDot.cl:22-30
+* summed-area table       — kernel/satHorizontal.cl + satVertical.cl, here two
+                            `jnp.cumsum` calls (log-depth scans on the VPU
+                            instead of one serial work-item per row/column)
+* quadrant circularity    — kernel/satBlobCenter.cl:34-45, shifted-slice reads
+* blob extraction         — kernel/blobList.cl:36-102; the atomic-append
+                            compaction becomes a masked top-k into a fixed
+                            `max_blobs`-slot tensor, disc color statistics
+                            become an edge-padded depthwise convolution.
+
+All shapes are static; geometry changes recompile (rare by design).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shift2d(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """img[y + dy, x + dx] with clamp-to-edge, implemented as pad + slice."""
+    h, w = img.shape[:2]
+    pad_y = (max(dy, 0), max(-dy, 0))
+    pad_x = (max(dx, 0), max(-dx, 0))
+    pads = ((pad_y[1], pad_y[0]), (pad_x[1], pad_x[0])) + tuple(
+        ((0, 0),) * (img.ndim - 2)
+    )
+    padded = jnp.pad(img, pads, mode="edge")
+    return padded[
+        (pad_y[1] + dy) : (pad_y[1] + dy + h),
+        (pad_x[1] + dx) : (pad_x[1] + dx + w),
+    ]
+
+
+def gradient_dot(flat: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """Dot product of central-difference gradients over the dRGB channels.
+
+    offset = ceil(max_blob_radius / field_scale) / 3 (integer division), the
+    ring response scale. flat: (H, W, 3) f32 -> (H, W) f32.
+    """
+    gx = _shift2d(flat, offset, 0) - _shift2d(flat, -offset, 0)
+    gy = _shift2d(flat, 0, offset) - _shift2d(flat, 0, -offset)
+    return jnp.sum(gx * gy, axis=-1)
+
+
+def summed_area_table(img: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive 2D prefix sum (summed-area table), f32."""
+    return jnp.cumsum(jnp.cumsum(img, axis=1), axis=0)
+
+
+def circularity(sat: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Blob circularity from quadrant box sums of the gradient-dot SAT.
+
+    For each pixel, the four quadrant sums over [1, radius] offsets are read
+    from the SAT; the positive-diagonal quadrants contribute positively and
+    the negative-diagonal quadrants invert automatically through swapped
+    rectangle corners; the response is the minimum of the four, normalized by
+    radius^2 (reference kernel/satBlobCenter.cl:34-45).
+    """
+    r = radius
+
+    def read(dx, dy):
+        return _shift2d(sat, dx, dy)
+
+    pp = read(r, r) - read(r, 1) - read(1, r) + read(1, 1)
+    pn = read(r, -r) - read(r, -1) - read(1, -r) + read(1, -1)  # inverted
+    np_ = read(-r, r) - read(-r, 1) - read(-1, r) + read(-1, 1)  # inverted
+    nn = read(-r, -r) - read(-r, -1) - read(-1, -r) + read(-1, -1)
+    return jnp.minimum(jnp.minimum(pp, nn), jnp.minimum(pn, np_)) / float(r * r)
+
+
+def disc_offsets(radius: int) -> np.ndarray:
+    """Integer offsets (dy, dx) with dx^2 + dy^2 <= radius^2."""
+    out = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy <= radius * radius:
+                out.append((dy, dx))
+    return np.array(out, dtype=np.int32)
+
+
+def disc_stats(flat: jnp.ndarray, radius: int) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Per-pixel disc sums of the flat image and its square.
+
+    Returns (s1, s2, n): s1/s2 are (H, W, 3) disc sums of value and value^2
+    over the disc of `radius` (clamp-to-edge at borders, matching the
+    reference's CLK_ADDRESS_CLAMP_TO_EDGE reads), n is the disc pixel count.
+
+    Implemented as a depthwise convolution with a 0/1 disc kernel on an
+    edge-padded image; XLA lowers this onto the convolution units.
+    """
+    r = radius
+    offs = disc_offsets(r)
+    n = len(offs)
+    mask = np.zeros((2 * r + 1, 2 * r + 1), dtype=np.float32)
+    mask[offs[:, 0] + r, offs[:, 1] + r] = 1.0
+
+    padded = jnp.pad(flat, ((r, r), (r, r), (0, 0)), mode="edge")
+    x = jnp.moveaxis(padded, -1, 0)[None]  # NCHW, C=3
+    kern = jnp.broadcast_to(mask, (3, 1, 2 * r + 1, 2 * r + 1))  # OIHW depthwise
+
+    def conv(v):
+        # HIGHEST precision: keep f32 accumulation on TPU (default would
+        # multiply in bf16 and break parity with the reference's f32 sums)
+        return jax.lax.conv_general_dilated(
+            v,
+            kern,
+            window_strides=(1, 1),
+            padding="VALID",
+            feature_group_count=3,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    s1 = jnp.moveaxis(conv(x)[0], 0, -1)
+    s2 = jnp.moveaxis(conv(x * x)[0], 0, -1)
+    return s1, s2, n
+
+
+def local_max_mask(circ: jnp.ndarray) -> jnp.ndarray:
+    """True where no 4-neighbor (clamp-to-edge) strictly exceeds the value."""
+    return (
+        (_shift2d(circ, -1, 0) <= circ)
+        & (_shift2d(circ, 1, 0) <= circ)
+        & (_shift2d(circ, 0, -1) <= circ)
+        & (_shift2d(circ, 0, 1) <= circ)
+    )
+
+
+def subpixel_peak(neg: jnp.ndarray, center: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic interpolation of the peak position from 3 samples."""
+    denom = neg - 2 * center + pos
+    return jnp.where(denom != 0, 0.5 * (neg - pos) / denom, 0.0)
+
+
+@partial(jax.jit, static_argnames=("radius", "max_blobs"))
+def extract_blobs(
+    flat: jnp.ndarray,
+    circ: jnp.ndarray,
+    circ_threshold: jnp.ndarray,
+    min_score: jnp.ndarray,
+    radius: int,
+    max_blobs: int,
+):
+    """Blob extraction and compaction.
+
+    Thresholds the circularity map, keeps 4-neighbor local maxima, computes
+    disc color mean/stddev and score = circ / sum(stddev), then compacts the
+    surviving pixels into `max_blobs` slots by descending score.
+
+    Returns a dict:
+      pos    (k, 2) f32 sub-pixel flat-grid coordinates (x, y)
+      color  (k, 3) f32 disc mean color (dRGB)
+      center (k, 3) f32 center pixel color (dRGB)
+      circ   (k,)   f32 circularity response
+      score  (k,)   f32 circ / sum(stddev)
+      valid  (k,)   bool slot holds a real blob
+      count  ()     i32 number of pixels passing all filters (may exceed k)
+    """
+    h, w = circ.shape
+    s1, s2, n = disc_stats(flat, radius)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
+    score = circ / jnp.maximum(stddev_sum, 1e-12)
+
+    valid = (
+        (circ >= circ_threshold)
+        & local_max_mask(circ)
+        & (score >= min_score)
+    )
+    count = jnp.sum(valid, dtype=jnp.int32)
+
+    masked = jnp.where(valid, score, -jnp.inf).reshape(-1)
+    top_scores, idx = jax.lax.top_k(masked, max_blobs)
+    slot_valid = top_scores > -jnp.inf
+
+    iy = idx // w
+    ix = idx % w
+
+    def gather2d(img, yy, xx):
+        return img.reshape(-1, *img.shape[2:])[yy * w + xx]
+
+    c0 = gather2d(circ, iy, ix)
+    cnx = gather2d(circ, iy, jnp.maximum(ix - 1, 0))
+    cpx = gather2d(circ, iy, jnp.minimum(ix + 1, w - 1))
+    cny = gather2d(circ, jnp.maximum(iy - 1, 0), ix)
+    cpy = gather2d(circ, jnp.minimum(iy + 1, h - 1), ix)
+
+    px = ix.astype(jnp.float32) + subpixel_peak(cnx, c0, cpx)
+    py = iy.astype(jnp.float32) + subpixel_peak(cny, c0, cpy)
+
+    return {
+        "pos": jnp.stack([px, py], axis=-1),
+        "color": gather2d(mean, iy, ix),
+        "center": gather2d(flat, iy, ix),
+        "circ": c0,
+        "score": jnp.where(slot_valid, top_scores, 0.0),
+        "valid": slot_valid,
+        "count": count,
+    }
+
+
+def blob_score_map(
+    flat: jnp.ndarray,
+    circ: jnp.ndarray,
+    circ_threshold,
+    radius: int,
+) -> jnp.ndarray:
+    """Image-space blob score map (-inf where filtered), the analogue of the
+    benchmark-only blobScore kernel (reference kernel/blobScore.cl:23-66)."""
+    s1, s2, n = disc_stats(flat, radius)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
+    score = circ / jnp.maximum(stddev_sum, 1e-12)
+    keep = (circ >= circ_threshold) & local_max_mask(circ)
+    return jnp.where(keep, score, -jnp.inf)
+
+
+def legacy_circularity(flat_channel: jnp.ndarray, max_radius: int) -> jnp.ndarray:
+    """Direct (non-SAT) quadrant circularity, kept for parity/testing only —
+    superseded by the SAT chain (reference kernel/blobCenter.cl:29-63)."""
+    sq = (max_radius + 0.5) ** 2
+    pp = jnp.zeros_like(flat_channel)
+    pn = jnp.zeros_like(flat_channel)
+    np_ = jnp.zeros_like(flat_channel)
+    nn = jnp.zeros_like(flat_channel)
+    count = 0
+    for y in range(1, max_radius + 1):
+        for x in range(1, max_radius + 1):
+            if x * x + y * y <= sq:
+                np_ = np_ + _shift2d(flat_channel, -x, y)
+                pp = pp + _shift2d(flat_channel, x, y)
+                nn = nn + _shift2d(flat_channel, -x, -y)
+                pn = pn + _shift2d(flat_channel, x, -y)
+                count += 1
+    pp, pn, np_, nn = (v / count for v in (pp, pn, np_, nn))
+    return jnp.minimum(jnp.minimum(pp, nn), jnp.minimum(-pn, -np_))
+
+
+def gradient_offset(max_blob_radius: float, field_scale: float) -> int:
+    """offset = ceil(max_blob_radius / field_scale) // 3 (integer division),
+    matching the reference kernel invocation (reference src/Resources.cpp:160)."""
+    return max(1, int(math.ceil(max_blob_radius / field_scale)) // 3)
+
+
+def sat_radius(min_blob_radius: float, field_scale: float) -> int:
+    """Quadrant radius = ceil(min_blob_radius / field_scale)
+    (reference src/Resources.cpp:163)."""
+    return max(1, int(math.ceil(min_blob_radius / field_scale)))
+
+
+def disc_radius(min_blob_radius: float, field_scale: float) -> int:
+    """Color-statistics disc radius = floor(min_blob_radius / field_scale)
+    (reference src/main.cpp:289)."""
+    return max(1, int(math.floor(min_blob_radius / field_scale)))

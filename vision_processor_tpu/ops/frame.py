@@ -1,0 +1,153 @@
+"""Frame-plane ops: Bayer splitting, plane sampling, reprojection to the flat
+field grid, dRGB conversion.
+
+TPU-first equivalents of the reference's raw2quad / resampling / quad2rgba
+OpenCL kernels (reference kernel/raw2quad.cl:21-39, kernel/resampling.cl:52-105,
+kernel/quad2rgba.cl:23-53). Bayer splitting is pure strided slicing (free under
+XLA fusion); reprojection computes the camera projection per output pixel as
+elementwise VPU math from packed camera parameters and bilinearly gathers the
+four half-resolution Bayer planes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.camera import field2image_packed
+
+# Supported raw formats
+RGGB = "RGGB"
+GRBG = "GRBG"
+BGR = "BGR"
+
+
+def raw2quad(raw: jnp.ndarray, fmt: str) -> jnp.ndarray:
+    """Split a raw frame into 4 half-resolution planes, f32.
+
+    Bayer input (2H, 2W) uint8 -> (4, H, W): one plane per Bayer cell
+    position (row-major within the 2x2 cell). BGR input (H, W, 3) uint8 ->
+    (4, H, W) with planes [B, G, R, zeros] to keep a uniform layout.
+    """
+    if fmt == BGR:
+        planes = jnp.moveaxis(raw.astype(jnp.float32), -1, 0)
+        return jnp.concatenate([planes, jnp.zeros_like(planes[:1])], axis=0)
+    x = raw.astype(jnp.float32)
+    return jnp.stack(
+        [x[0::2, 0::2], x[0::2, 1::2], x[1::2, 0::2], x[1::2, 1::2]], axis=0
+    )
+
+
+def bilinear_sample(plane: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample `plane` (H, W) at float pixel coords, clamp-to-edge.
+
+    Texel centers sit at integer + 0.5 (OpenCL unnormalized LINEAR
+    convention): sampling at exactly (i + 0.5, j + 0.5) returns plane[j, i].
+    """
+    h, w = plane.shape
+    u = x - 0.5
+    v = y - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+
+    flatp = plane.reshape(-1)
+    idx00 = y0 * w + x0
+    idx01 = y0 * w + x1
+    idx10 = y1 * w + x0
+    idx11 = y1 * w + x1
+    p00 = jnp.take(flatp, idx00)
+    p01 = jnp.take(flatp, idx01)
+    p10 = jnp.take(flatp, idx10)
+    p11 = jnp.take(flatp, idx11)
+
+    top = p00 * (1 - fx) + p01 * fx
+    bot = p10 * (1 - fx) + p11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_rgb(planes: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, fmt: str):
+    """Reconstruct RGB at image positions (px, py) from the 4 planes.
+
+    Positions are in the camera model's (half-resolution) pixel space; the
+    quarter-pixel shifts compensate each channel's position inside the Bayer
+    cell (reference kernel/resampling.cl:60-84).
+    Returns (r, g, b) float arrays in [0, 255].
+    """
+    if fmt == BGR:
+        b = bilinear_sample(planes[0], px, py)
+        g = bilinear_sample(planes[1], px, py)
+        r = bilinear_sample(planes[2], px, py)
+        return r, g, b
+    if fmt == RGGB:
+        r = bilinear_sample(planes[0], px + 0.25, py + 0.25)
+        g = 0.5 * bilinear_sample(planes[1], px - 0.25, py + 0.25) + 0.5 * (
+            bilinear_sample(planes[2], px + 0.25, py - 0.25)
+        )
+        b = bilinear_sample(planes[3], px - 0.25, py - 0.25)
+        return r, g, b
+    if fmt == GRBG:
+        r = bilinear_sample(planes[1], px - 0.25, py + 0.25)
+        g = 0.5 * bilinear_sample(planes[0], px + 0.25, py + 0.25) + 0.5 * (
+            bilinear_sample(planes[3], px - 0.25, py - 0.25)
+        )
+        b = bilinear_sample(planes[2], px + 0.25, py - 0.25)
+        return r, g, b
+    raise ValueError(f"unknown raw format {fmt}")
+
+
+def rgb_to_drgb(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Differential RGB color space, channels stacked last.
+
+    dR = (2R - G - B + 510) / 4 etc., range [0, 255]
+    (reference kernel/resampling.cl:88-94).
+    """
+    dr = (2 * r - g - b + 510) * 0.25
+    dg = (2 * g - b - r + 510) * 0.25
+    db = (2 * b - r - g + 510) * 0.25
+    return jnp.stack([dr, dg, db], axis=-1)
+
+
+def resample_flat(
+    planes: jnp.ndarray,
+    packed_cam: jnp.ndarray,
+    max_bot_height: jnp.ndarray,
+    field_scale: float,
+    field_offset: tuple[float, float],
+    out_shape: tuple[int, int],
+    fmt: str,
+) -> jnp.ndarray:
+    """Reproject the camera planes onto the flat field grid in dRGB.
+
+    Each output pixel (x, y) corresponds to field position
+    (x * field_scale + offx, y * field_scale + offy, max_bot_height); its
+    image position comes from the packed camera model. out_shape is (H, W).
+    """
+    hf, wf = out_shape
+    ys = jnp.arange(hf, dtype=jnp.float32) * field_scale + field_offset[1]
+    xs = jnp.arange(wf, dtype=jnp.float32) * field_scale + field_offset[0]
+    gx, gy = jnp.meshgrid(xs, ys)  # (hf, wf)
+    fieldpos = jnp.stack(
+        [gx, gy, jnp.full_like(gx, 1.0) * max_bot_height], axis=-1
+    )
+    img = field2image_packed(packed_cam, fieldpos)
+    px, py = img[..., 0], img[..., 1]
+    r, g, b = sample_rgb(planes, px, py, fmt)
+    return rgb_to_drgb(r, g, b)
+
+
+def quad2rgba(planes: jnp.ndarray, fmt: str) -> jnp.ndarray:
+    """Demosaic the planes back to a half-resolution RGB image (H, W, 3) f32.
+
+    Grid positions are the plane's own pixel centers, so this reproduces the
+    reference quad2rgba sampling (reference kernel/quad2rgba.cl:23-53).
+    """
+    h, w = planes.shape[1:]
+    px, py = jnp.meshgrid(
+        jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
+    )
+    r, g, b = sample_rgb(planes, px, py, fmt)
+    return jnp.stack([r, g, b], axis=-1)
