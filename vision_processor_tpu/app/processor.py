@@ -1,0 +1,284 @@
+"""Per-camera frame processor: device step + host finishing.
+
+The orchestration equivalent of the reference's Resources + main loop
+(reference src/Resources.cpp:70-136, src/main.cpp:262-423), with the entire
+compute path — blob machine and hypothesis search — compiled into one XLA
+program per geometry. The host side handles geometry adoption, tracking
+input, color state, protobuf emission.
+"""
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.colors import ColorState
+from ..models.detector import DetectorConfig, detect
+from ..models.host_detect import HostDetector
+from ..models.perspective import Perspective
+from ..ops.pipeline import BlobMachineConfig, blob_machine
+from ..proto import SSL_WrapperPacket, SSL_SOURCE_VISION_PROCESSOR
+from ..utils.config import VisionConfig
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+_PARAM_KEYS = (
+    "max_bot_height",
+    "min_circularity",
+    "max_robot_radius",
+    "min_tracking_radius",
+    "max_bot_acceleration",
+    "min_confidence",
+    "clipping_tolerance",
+    "ball_radius",
+)
+
+
+def full_step(bm_cfg: BlobMachineConfig, det_cfg: DetectorConfig, raw, packed_cam,
+              colors7, tracked, params):
+    """blob machine + hypothesis search, one device program."""
+    blobs = blob_machine(
+        bm_cfg, raw, packed_cam, params["max_bot_height"], params["min_circularity"]
+    )
+    det = detect(det_cfg, blobs, tracked, colors7[:6], packed_cam, params)
+    out_blobs = {
+        k: blobs[k]
+        for k in ("pos", "field_pos", "color", "center", "circ", "score", "valid", "count")
+    }
+    return out_blobs, det
+
+
+@dataclass
+class TrackedArrays:
+    """Fixed-shape tracked-bot tensors for the device step."""
+
+    id: np.ndarray
+    x: np.ndarray
+    y: np.ndarray
+    z: np.ndarray
+    w: np.ndarray
+    vx: np.ndarray
+    vy: np.ndarray
+    vw: np.ndarray
+    time_delta: np.ndarray
+    valid: np.ndarray
+
+    @classmethod
+    def build(cls, tracked_by_cam: dict, now: float, slots: int) -> "TrackedArrays":
+        rows = []
+        for _cam, entries in sorted(tracked_by_cam.items()):
+            for t in entries:
+                if t.id == -1:
+                    continue  # balls are not searched as constellations
+                rows.append(t)
+        rows = rows[:slots]
+        arr = cls(
+            id=np.full(slots, -1, dtype=np.int32),
+            x=np.zeros(slots, dtype=np.float32),
+            y=np.zeros(slots, dtype=np.float32),
+            z=np.zeros(slots, dtype=np.float32),
+            w=np.zeros(slots, dtype=np.float32),
+            vx=np.zeros(slots, dtype=np.float32),
+            vy=np.zeros(slots, dtype=np.float32),
+            vw=np.zeros(slots, dtype=np.float32),
+            time_delta=np.zeros(slots, dtype=np.float32),
+            valid=np.zeros(slots, dtype=bool),
+        )
+        for i, t in enumerate(rows):
+            arr.id[i] = t.id
+            arr.x[i] = t.x
+            arr.y[i] = t.y
+            arr.z[i] = t.z
+            arr.w[i] = t.w
+            arr.vx[i] = t.vx
+            arr.vy[i] = t.vy
+            arr.vw[i] = t.vw
+            arr.time_delta[i] = now - t.timestamp
+            arr.valid[i] = True
+        return arr
+
+    def as_dict(self) -> dict:
+        return {
+            "id": self.id,
+            "x": self.x,
+            "y": self.y,
+            "z": self.z,
+            "w": self.w,
+            "vx": self.vx,
+            "vy": self.vy,
+            "vw": self.vw,
+            "time_delta": self.time_delta,
+            "valid": self.valid,
+        }
+
+
+class Processor:
+    """One camera's full detection stack."""
+
+    def __init__(
+        self,
+        config: VisionConfig,
+        socket=None,
+        gc_socket=None,
+        max_tracked: int = 64,
+    ):
+        self.config = config
+        self.socket = socket
+        self.gc_socket = gc_socket
+        self.perspective = Perspective(
+            cam_id=config.cam_id, geometry_tolerance=config.geometry_tolerance
+        )
+        self.colors = ColorState(
+            orange_ref=np.asarray(config.orange_reference, dtype=np.int64),
+            field_ref=np.asarray(config.field_reference, dtype=np.int64),
+            yellow_ref=np.asarray(config.yellow_reference, dtype=np.int64),
+            blue_ref=np.asarray(config.blue_reference, dtype=np.int64),
+            green_ref=np.asarray(config.green_reference, dtype=np.int64),
+            pink_ref=np.asarray(config.pink_reference, dtype=np.int64),
+            reference_force=config.reference_force,
+            history_force=config.history_force,
+        )
+        self.host = HostDetector(config, self.colors, self.perspective)
+        self.det_cfg = DetectorConfig(
+            max_blobs=config.max_blobs, max_tracked=max_tracked
+        )
+        self._step = None
+        self._bm_cfg = None
+        self._geom_key = None
+        self.frame_id = 0
+
+    # -- geometry -----------------------------------------------------------
+
+    @property
+    def max_bot_height(self) -> float:
+        return self.gc_socket.max_bot_height if self.gc_socket else 150.0
+
+    def geometry_check(self, width: int, height: int, geometry=None, version=None):
+        """Adopt geometry from the socket (or explicit args in offline use)."""
+        if geometry is None:
+            if self.socket is None:
+                return
+            self.socket.geometry_check()
+            geometry = self.socket.geometry
+            version = self.socket.geometry_version
+        had_calib = self.perspective.geometry_version
+        changed = self.perspective.update_geometry(
+            geometry,
+            version,
+            width,
+            height,
+            self.max_bot_height,
+            self.config.resampling_factor,
+        )
+        if changed:
+            self._geom_key = None  # force recompile
+            # re-broadcast calib with derived world position when missing
+            if self.socket is not None and not had_calib:
+                for calib in geometry.calib:
+                    if calib.camera_id == self.config.cam_id and not calib.HasField(
+                        "derived_camera_world_tx"
+                    ):
+                        wrapper = SSL_WrapperPacket()
+                        wrapper.source = SSL_SOURCE_VISION_PROCESSOR
+                        wrapper.geometry.CopyFrom(geometry)
+                        wrapper.geometry.ClearField("calib")
+                        wrapper.geometry.calib.append(
+                            self.perspective.model.to_proto(self.config.cam_id)
+                        )
+                        self.socket.send(wrapper)
+
+    def _ensure_step(self, fmt: str, raw_shape: tuple):
+        key = (fmt, raw_shape, tuple(self.perspective.reprojected_field_size))
+        if self._geom_key == key:
+            return
+        self._bm_cfg = BlobMachineConfig.from_perspective(
+            self.perspective, fmt, raw_shape, max_blobs=self.config.max_blobs
+        )
+        self._step = jax.jit(partial(full_step, self._bm_cfg, self.det_cfg))
+        self._geom_key = key
+        log.info(
+            "Compiled pipeline for %s raw=%s flat=%s",
+            fmt,
+            raw_shape,
+            self._bm_cfg.flat_shape,
+        )
+
+    # -- per-frame ----------------------------------------------------------
+
+    def params(self) -> dict:
+        field = self.perspective.field
+        return {
+            "max_bot_height": jnp.float32(self.max_bot_height),
+            "min_circularity": jnp.float32(self.config.min_circularity),
+            "max_robot_radius": jnp.float32(field.max_robot_radius or 90.0),
+            "min_tracking_radius": jnp.float32(self.config.min_tracking_radius),
+            "max_bot_acceleration": jnp.float32(self.config.max_bot_acceleration),
+            "min_confidence": jnp.float32(self.config.min_confidence),
+            "clipping_tolerance": jnp.float32(self.config.clipping_tolerance),
+            "ball_radius": jnp.float32(field.ball_radius or 21.5),
+        }
+
+    def device_step(self, raw: np.ndarray, fmt: str, tracked: TrackedArrays):
+        """Dispatch the jitted step; returns device arrays (async)."""
+        self._ensure_step(fmt, tuple(raw.shape))
+        return self._step(
+            jnp.asarray(raw),
+            jnp.asarray(self.perspective.model.packed()),
+            jnp.asarray(self.colors.packed()),
+            tracked.as_dict(),
+            self.params(),
+        )
+
+    def finish_frame(self, device_out, t_capture: float, t_capture_camera: float = 0.0):
+        """Host finishing: colors, ids, filters, protobuf."""
+        blobs_dev, det_dev = device_out
+        blobs = {k: np.asarray(v) for k, v in blobs_dev.items()}
+        det = {k: np.asarray(v) for k, v in det_dev.items()}
+
+        max_bot_height = self.max_bot_height
+        bots = self.host.build_bots(det, blobs)
+        balls = self.host.build_balls(det, blobs)
+
+        self.host.update_colors(bots, balls, max_bot_height)
+        self.host.recalc_post_color(bots, balls)
+        balls = self.host.filter_balls(balls, max_bot_height)
+
+        self.frame_id += 1
+        wrapper = SSL_WrapperPacket()
+        wrapper.source = SSL_SOURCE_VISION_PROCESSOR
+        frame = wrapper.detection
+        frame.frame_number = self.frame_id
+        frame.t_capture = t_capture
+        if t_capture_camera:
+            frame.t_capture_camera = t_capture_camera
+        frame.camera_id = self.config.cam_id
+
+        heights = {
+            "yellow": self.gc_socket.yellow_bot_height if self.gc_socket else 145.0,
+            "blue": self.gc_socket.blue_bot_height if self.gc_socket else 145.0,
+        }
+        self.host.emit(frame, bots, balls, heights, max_bot_height)
+
+        if self.socket is not None:
+            for off in self.socket.get_received_offsets():
+                frame.t_offsets.append(off)
+        return wrapper, blobs, det
+
+    def process_frame(self, frame, tracked_by_cam=None, now=None):
+        """Full synchronous frame: device + host. Returns the wrapper packet."""
+        if now is None:
+            now = frame.timestamp
+        if tracked_by_cam is None:
+            tracked_by_cam = (
+                self.socket.get_tracked_objects() if self.socket else {}
+            )
+        tracked = TrackedArrays.build(
+            tracked_by_cam, now, self.det_cfg.max_tracked
+        )
+        out = self.device_step(frame.data, frame.fmt, tracked)
+        return self.finish_frame(out, now, frame.timestamp)

@@ -1,0 +1,524 @@
+"""Vectorized robot/ball hypothesis search — the device half of detection.
+
+The reference enumerates candidate robots on the CPU with pointer-chasing
+loops: per-anchor 4-subsets of angle-sorted neighbours
+(reference src/main.cpp:43-79) and per-tracked-bot 5-way radius-search cross
+products (reference src/main.cpp:81-141), scored by BotHypothesis
+(reference src/blobs/hypothesis.cpp:97-271). Here the same search is a fixed
+tensor program: static combo tables enumerated with masking, scored in
+parallel on the VPU, reduced with argmax, and filtered with an in-graph
+greedy clipping NMS. Blob count, ring size, combo counts are static; real
+blob counts are handled by validity masks.
+
+Everything in this module is jit-compatible; the host half
+(host_detect.py) consumes the small result tensors.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from itertools import combinations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import field2image_packed, image2field_packed
+from .pattern import (
+    MIN_ROBOT_FRONT_DISTANCE,
+    MIN_ROBOT_OPENING_ANGLE,
+    MIN_ROBOT_RADIUS,
+    PATTERNS,
+    PATTERN_ANGLES_B2B,
+    PATTERN_POS,
+)
+
+TWO_PI = 2.0 * math.pi
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Static shape configuration of the hypothesis search."""
+
+    max_blobs: int  # k blob slots from the blob machine
+    max_anchors: int = 512  # anchors tested for detection hypotheses
+    ring_size: int = 8  # neighbour ring per anchor (K)
+    max_tracked: int = 64  # tracked-object slots (T)
+    tracked_candidates: int = 3  # blob candidates per pattern slot (M)
+    max_bots: int = 64  # bot output slots (B)
+
+
+# ---------------------------------------------------------------------------
+# static combo tables
+# ---------------------------------------------------------------------------
+
+
+def detection_combo_table(ring_size: int) -> np.ndarray:
+    """All 4-subsets of the ring in cyclic order, each in its 4 rotations.
+
+    The reference's nested loops enumerate every 4-subset of the angle-sorted
+    neighbour ring once per cyclic rotation (reference src/main.cpp:63-75) —
+    the rotation decides which physical blob lands on which pattern slot.
+    Returns (n_combos, 4) indices into the sorted ring.
+    """
+    rows = []
+    for subset in combinations(range(ring_size), 4):
+        for r in range(4):
+            rows.append([subset[(j + r) % 4] for j in range(4)])
+    return np.array(rows, dtype=np.int32)
+
+
+def tracked_combo_table(m_plus_null: int) -> np.ndarray:
+    """Cartesian product of per-slot candidate choices, (n, 5) option indices.
+
+    Option m_plus_null-1 denotes "no blob on this slot" (the reference pushes
+    a nullptr candidate, reference src/main.cpp:104).
+    """
+    grids = np.meshgrid(*[np.arange(m_plus_null)] * 5, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1).astype(np.int32)
+
+
+_PAIRS = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+_PAIR_A = np.array([p[0] for p in _PAIRS], dtype=np.int32)
+_PAIR_B = np.array([p[1] for p in _PAIRS], dtype=np.int32)
+# expected angle for each ordered pair (a -> b): PATTERN_ANGLES_B2B[b*5 + a]
+_PAIR_ANGLE = PATTERN_ANGLES_B2B.reshape(5, 5)[_PAIR_B, _PAIR_A]
+
+
+def _remainder_2pi(x):
+    """IEEE remainder(x, 2*pi): result in [-pi, pi]."""
+    return x - TWO_PI * jnp.round(x / TWO_PI)
+
+
+def _rot2(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return c, s
+
+
+def _rotate(c, s, v):
+    """Rotate vectors v (..., 2) by the angle whose cos/sin are c, s (...)."""
+    x = c * v[..., 0] - s * v[..., 1]
+    y = s * v[..., 0] + c * v[..., 1]
+    return jnp.stack([x, y], axis=-1)
+
+
+def score_hypotheses(pos5, valid5):
+    """Score a batch of 5-blob constellations.
+
+    pos5: (..., 5, 2) blob field positions (slot 0 = center blob),
+    valid5: (..., 5) slot occupancy.
+    Returns (orientation, pos, offset_score, blob_amount) with reference
+    semantics (reference src/blobs/hypothesis.cpp:156-205): orientation from
+    pairwise angle deltas vs the pattern table, position as the mean of
+    back-rotated blob offsets, offset score min over slots of
+    1 / (1 + |offset/10mm|^2).
+    """
+    pa = pos5[..., _PAIR_A, :]
+    pb = pos5[..., _PAIR_B, :]
+    pair_valid = valid5[..., _PAIR_A] & valid5[..., _PAIR_B]
+    diff = pb - pa
+    delta = jnp.arctan2(diff[..., 1], diff[..., 0]) - _PAIR_ANGLE
+    o_sin = jnp.sum(jnp.where(pair_valid, jnp.sin(delta), 0.0), axis=-1)
+    o_cos = jnp.sum(jnp.where(pair_valid, jnp.cos(delta), 0.0), axis=-1)
+
+    blob_amount = jnp.sum(valid5, axis=-1)
+    orientation = jnp.where(
+        blob_amount > 1, jnp.arctan2(o_sin, o_cos), 0.0
+    )
+
+    c, s = _rot2(orientation)
+    pattern = jnp.asarray(PATTERN_POS)  # (5, 2)
+    rotated = _rotate(c[..., None], s[..., None], pattern)  # (..., 5, 2)
+    offsets = pos5 - rotated
+    pos = jnp.sum(
+        jnp.where(valid5[..., None], offsets, 0.0), axis=-2
+    ) / jnp.maximum(blob_amount, 1)[..., None]
+
+    slot_off = (pos5 - (pos[..., None, :] + rotated)) / 10.0
+    slot_score = 1.0 / (1.0 + jnp.sum(slot_off * slot_off, axis=-1))
+    offset_score = jnp.min(
+        jnp.where(valid5, slot_score, jnp.inf), axis=-1
+    )
+    offset_score = jnp.where(jnp.isfinite(offset_score), offset_score, 1.0)
+    return orientation, pos, offset_score, blob_amount
+
+
+# ---------------------------------------------------------------------------
+# detection hypotheses (untracked anchors)
+# ---------------------------------------------------------------------------
+
+
+def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_radius):
+    """Best 5-blob constellation per anchor blob.
+
+    Returns dict with per-anchor (A,) score/orientation, (A, 2) pos and
+    (A, 5) global blob indices (slot 0 = the anchor itself).
+    """
+    a = min(cfg.max_anchors, blob_pos.shape[0])
+    k = cfg.ring_size
+    anchor_pos = blob_pos[:a]
+    anchor_valid = blob_valid[:a]
+
+    diff = blob_pos[None, :, :] - anchor_pos[:, None, :]  # (A, k_all, 2)
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    in_radius = (
+        (dist2 <= max_robot_radius * max_robot_radius)
+        & blob_valid[None, :]
+        & anchor_valid[:, None]
+    )
+
+    # Highest-quality K in radius (the reference uses all in-radius
+    # neighbours; K bounds the tensor shape). Blob slots arrive sorted by
+    # extraction score, so preferring low indices keeps the real pattern
+    # blobs over spurious local maxima. The anchor itself is a candidate,
+    # mirroring rangeSearch returning the query blob.
+    blob_rank = jnp.arange(blob_pos.shape[0], dtype=jnp.float32)
+    sel_score = jnp.where(in_radius, -blob_rank[None, :], -jnp.inf)
+    _, sel_idx = jax.lax.top_k(sel_score, k)  # (A, K)
+    sel_valid = jnp.take_along_axis(in_radius, sel_idx, axis=1)
+
+    sel_diff = jnp.take_along_axis(
+        diff, sel_idx[..., None], axis=1
+    )  # (A, K, 2)
+    angle = jnp.arctan2(sel_diff[..., 1], sel_diff[..., 0])
+    order = jnp.argsort(jnp.where(sel_valid, angle, jnp.inf), axis=-1)
+    ring_idx = jnp.take_along_axis(sel_idx, order, axis=1)
+    ring_valid = jnp.take_along_axis(sel_valid, order, axis=1)
+    ring_count = jnp.sum(ring_valid, axis=-1)  # (A,)
+
+    combos = jnp.asarray(detection_combo_table(k))  # (C, 4)
+    combo_max = jnp.max(combos, axis=-1)  # (C,)
+    combo_ok = combo_max[None, :] < ring_count[:, None]  # (A, C)
+    # reference: anchors need >= 4 in-radius blobs (incl. self)
+    combo_ok &= (ring_count[:, None] >= 4) & anchor_valid[:, None]
+
+    side_idx = ring_idx[:, combos]  # (A, C, 4) global blob ids
+    side_pos = blob_pos[side_idx]  # (A, C, 4, 2)
+    center = jnp.broadcast_to(
+        anchor_pos[:, None, None, :], side_pos[..., :1, :].shape
+    )
+    pos5 = jnp.concatenate([center, side_pos], axis=-2)  # (A, C, 5, 2)
+    valid5 = jnp.ones(pos5.shape[:-1], dtype=bool)
+
+    orientation, pos, offset_score, _ = score_hypotheses(pos5, valid5)
+    score = jnp.where(combo_ok, offset_score, 0.0)
+
+    best = jnp.argmax(score, axis=-1)  # (A,)
+    take = lambda arr: jnp.take_along_axis(
+        arr, best.reshape(-1, *([1] * (arr.ndim - 1))), axis=1
+    ).squeeze(1)
+    best_score = take(score)
+    best_orient = take(orientation)
+    best_pos = take(pos)
+    best_sides = take(side_idx)  # (A, 4)
+
+    anchor_ids = jnp.arange(a, dtype=jnp.int32)
+    blob_idx5 = jnp.concatenate(
+        [anchor_ids[:, None], best_sides.astype(jnp.int32)], axis=-1
+    )
+    return {
+        "score": best_score,
+        "orientation": best_orient,
+        "pos": best_pos,
+        "blob_idx": blob_idx5,
+        "valid": best_score > 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# tracked hypotheses
+# ---------------------------------------------------------------------------
+
+
+def tracked_hypotheses(
+    cfg: DetectorConfig,
+    blob_pos,
+    blob_color,
+    blob_valid,
+    tracked,  # dict of (T,) arrays: id, x, y, z, w, vx, vy, vw, time_delta, valid
+    colors,  # (6, 3): orange, field, yellow, blue, green, pink (dRGB)
+    packed_cam,
+    max_bot_height,
+    min_tracking_radius,
+    max_bot_acceleration,
+):
+    """Best constellation per tracked object using small per-slot searches.
+
+    Mirrors generateRadiusSearchTrackedBotHypotheses + TrackedBotHypothesis
+    (reference src/main.cpp:81-141, src/blobs/hypothesis.cpp:230-271):
+    reproject the tracked position into this camera, extrapolate by velocity,
+    search blobs around each expected pattern-slot position, try every
+    candidate assignment (including missing slots), score with the tracked
+    offset/rotation penalty and blob-count factor, veto on contradicting
+    pattern colors.
+    """
+    t = cfg.max_tracked
+    m = cfg.tracked_candidates
+
+    tid = tracked["id"]
+    tvalid = tracked["valid"]
+    dt_raw = tracked["time_delta"]
+    # clamp only the search radius growth (reference src/main.cpp:93-95)
+    dt = jnp.clip(dt_raw, 0.0, 0.05)
+
+    world = jnp.stack([tracked["x"], tracked["y"], tracked["z"]], axis=-1)
+    img = field2image_packed(packed_cam, world)
+    reproj = image2field_packed(packed_cam, img, max_bot_height)[..., :2]
+    reproj = jnp.where(jnp.isfinite(reproj), reproj, 0.0)
+
+    pred_xy = reproj + jnp.stack(
+        [tracked["vx"], tracked["vy"]], axis=-1
+    ) * dt_raw[..., None]
+    pred_w = tracked["w"]
+
+    search_radius = max_bot_acceleration * dt * dt + min_tracking_radius
+
+    c, s = _rot2(pred_w)
+    slot_pos = pred_xy[:, None, :] + _rotate(
+        c[:, None], s[:, None], jnp.asarray(PATTERN_POS)[None]
+    )  # (T, 5, 2)
+
+    d2 = jnp.sum(
+        (blob_pos[None, None, :, :] - slot_pos[:, :, None, :]) ** 2, axis=-1
+    )  # (T, 5, k)
+    cand_ok = (d2 <= (search_radius**2)[:, None, None]) & blob_valid[None, None, :]
+    cand_score = jnp.where(cand_ok, -d2, -jnp.inf)
+    _, cand_idx = jax.lax.top_k(cand_score, m)  # (T, 5, M)
+    cand_valid = jnp.take_along_axis(cand_ok, cand_idx, axis=2)
+
+    combos = jnp.asarray(tracked_combo_table(m + 1))  # (Ct, 5), m == null
+    n_combo = combos.shape[0]
+
+    # choice per combo/slot: global blob index or -1 for null
+    slot_range = jnp.arange(5)
+    chose = combos[None, :, :]  # (1, Ct, 5)
+    cand_idx_b = cand_idx[:, None, :, :]  # (T, 1, 5, M)
+    cand_valid_b = cand_valid[:, None, :, :]
+
+    is_null = chose == m
+    safe_choice = jnp.minimum(chose, m - 1)
+    gidx = jnp.take_along_axis(
+        jnp.broadcast_to(cand_idx_b, (t, n_combo, 5, m)),
+        safe_choice[..., None],
+        axis=-1,
+    ).squeeze(-1)  # (T, Ct, 5)
+    gvalid = (
+        jnp.take_along_axis(
+            jnp.broadcast_to(cand_valid_b, (t, n_combo, 5, m)),
+            safe_choice[..., None],
+            axis=-1,
+        ).squeeze(-1)
+        & ~is_null
+    )
+
+    # distinctness: no blob used twice (reference skips those combos)
+    eq = (gidx[..., :, None] == gidx[..., None, :]) & (
+        gvalid[..., :, None] & gvalid[..., None, :]
+    )
+    eq = eq & ~jnp.eye(5, dtype=bool)
+    distinct = ~jnp.any(eq, axis=(-2, -1))
+
+    pos5 = blob_pos[gidx]  # (T, Ct, 5, 2)
+    orientation, pos, offset_score, blob_amount = score_hypotheses(pos5, gvalid)
+
+    rot_off = _remainder_2pi(orientation - pred_w[:, None]) / math.pi
+    delta = (pos - pred_xy[:, None, :]) / 10.0
+    offset_score = offset_score / (
+        1.0 + jnp.sum(delta * delta, axis=-1) + rot_off * rot_off
+    )
+    offset_score = offset_score * blob_amount / 5.0
+
+    # color veto (reference src/blobs/hypothesis.cpp:245-270)
+    yellow, blue, green, pink = colors[2], colors[3], colors[4], colors[5]
+    pat = jnp.asarray(PATTERNS)[tid % 16]  # (T,)
+    is_green = ((pat[:, None] >> (4 - slot_range[None, :])) & 1).astype(bool)
+    is_blue_team = (tid >= 16)[:, None]
+    exp_side = jnp.where(is_green[..., None], green, pink)  # (T, 5, 3)
+    opp_side = jnp.where(is_green[..., None], pink, green)
+    exp_center = jnp.where(is_blue_team[..., None], blue, yellow)  # (T, 1, 3)
+    opp_center = jnp.where(is_blue_team[..., None], yellow, blue)
+    center_slot = (slot_range == 0)[None, :, None]  # (1, 5, 1)
+    expected = jnp.where(center_slot, exp_center, exp_side)  # (T, 5, 3)
+    opposite = jnp.where(center_slot, opp_center, opp_side)
+
+    bc = blob_color[gidx]  # (T, Ct, 5, 3)
+    d_exp = jnp.sum((bc - expected[:, None]) ** 2, axis=-1)
+    d_opp = jnp.sum((bc - opposite[:, None]) ** 2, axis=-1)
+    veto = jnp.any(gvalid & (d_opp - d_exp <= 0.0), axis=-1)  # (T, Ct)
+
+    score = jnp.where(
+        distinct
+        & ~veto
+        & (blob_amount >= 2)
+        & tvalid[:, None]
+        & (tid[:, None] >= 0),
+        offset_score,
+        0.0,
+    )
+
+    best = jnp.argmax(score, axis=-1)
+    take = lambda arr: jnp.take_along_axis(
+        arr, best.reshape(-1, *([1] * (arr.ndim - 1))), axis=1
+    ).squeeze(1)
+    blob_idx = jnp.where(take(gvalid), take(gidx), -1).astype(jnp.int32)
+    return {
+        "score": take(score),
+        "orientation": take(orientation),
+        "pos": take(pos),
+        "blob_idx": blob_idx,
+        "tracked_id": tid,
+        "valid": take(score) > 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# clipping geometry + NMS + ball clip mask
+# ---------------------------------------------------------------------------
+
+
+def _front_distance(angle_to_other, fallback_radius):
+    """Distance from the robot center to its hull towards angle_to_other
+    (flat front within the opening angle, circle otherwise)."""
+    front = jnp.abs(angle_to_other) < MIN_ROBOT_OPENING_ANGLE
+    return jnp.where(
+        front, MIN_ROBOT_FRONT_DISTANCE / jnp.cos(angle_to_other), fallback_radius
+    )
+
+
+def bot_bot_clipping(pos, orient, clipping_tolerance):
+    """Pairwise clipping matrix (B, B) for bot hulls
+    (reference src/blobs/hypothesis.cpp:106-124)."""
+    diff = pos[None, :, :] - pos[:, None, :]  # diff[i, j] = pos_j - pos_i
+    sqd = jnp.sum(diff * diff, axis=-1)
+    diff_angle = jnp.arctan2(diff[..., 1], diff[..., 0])
+    self_angle = _remainder_2pi(diff_angle - orient[:, None])
+    other_angle = _remainder_2pi(diff_angle - orient[None, :])
+    min_dist = (
+        _front_distance(self_angle, MIN_ROBOT_RADIUS)
+        + _front_distance(other_angle, MIN_ROBOT_RADIUS)
+        - clipping_tolerance
+    )
+    early = sqd >= (2 * MIN_ROBOT_RADIUS) ** 2
+    return ~early & (sqd < min_dist * min_dist)
+
+
+def bot_ball_clipping(bot_pos, bot_orient, ball_pos, ball_radius, clipping_tolerance):
+    """(B, k) mask: ball j clips into bot i
+    (reference src/blobs/hypothesis.cpp:126-139)."""
+    clipped_r = 0.48837 * ball_radius
+    diff = ball_pos[None, :, :] - bot_pos[:, None, :]
+    sqd = jnp.sum(diff * diff, axis=-1)
+    min_dist = MIN_ROBOT_RADIUS + clipped_r
+    outside = sqd >= min_dist * min_dist
+
+    angle = _remainder_2pi(
+        jnp.arctan2(diff[..., 1], diff[..., 0]) - bot_orient[:, None]
+    )
+    side = jnp.abs(angle) >= MIN_ROBOT_OPENING_ANGLE
+    front_dist = (MIN_ROBOT_FRONT_DISTANCE + clipped_r) / jnp.cos(
+        angle
+    ) - clipping_tolerance
+    front_clip = sqd < front_dist * front_dist
+    return ~outside & (side | front_clip)
+
+
+def clipping_nms(pos, orient, score, valid, clipping_tolerance):
+    """Greedy clipping suppression by descending score.
+
+    The reference removes every lower-score hypothesis whose hull clips a
+    surviving higher-score one (reference src/main.cpp:195-223); greedy
+    order-by-score is the stable formulation of that list surgery.
+    Returns the kept mask.
+    """
+    n = pos.shape[0]
+    clip = bot_bot_clipping(pos, orient, clipping_tolerance)
+    order = jnp.argsort(-jnp.where(valid, score, -jnp.inf))
+
+    def body(i, kept):
+        idx = order[i]
+        ok = kept[idx] & valid[idx]
+        suppress = clip[idx] & (score < score[idx])
+        return jnp.where(ok, kept & ~suppress, kept)
+
+    kept = jax.lax.fori_loop(0, n, body, valid)
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# full detector step
+# ---------------------------------------------------------------------------
+
+
+def detect(
+    cfg: DetectorConfig,
+    blobs,  # output dict of the blob machine (field_pos, color, valid, ...)
+    tracked,
+    colors,
+    packed_cam,
+    params,  # dict of scalars
+):
+    """Device detection step: blobs -> candidate bots + ball-clip mask."""
+    blob_pos = blobs["field_pos"]
+    blob_valid = blobs["valid"]
+    blob_color = blobs["color"]
+
+    det = detection_hypotheses(
+        cfg, blob_pos, blob_valid, params["max_robot_radius"]
+    )
+    trk = tracked_hypotheses(
+        cfg,
+        blob_pos,
+        blob_color,
+        blob_valid,
+        tracked,
+        colors,
+        packed_cam,
+        params["max_bot_height"],
+        params["min_tracking_radius"],
+        params["max_bot_acceleration"],
+    )
+
+    # merge candidate pools and keep the top max_bots by score
+    score = jnp.concatenate([trk["score"], det["score"]])
+    pos = jnp.concatenate([trk["pos"], det["pos"]])
+    orient = jnp.concatenate([trk["orientation"], det["orientation"]])
+    blob_idx = jnp.concatenate([trk["blob_idx"], det["blob_idx"]])
+    tracked_id = jnp.concatenate(
+        [
+            trk["tracked_id"],
+            jnp.full(det["score"].shape, -1, dtype=trk["tracked_id"].dtype),
+        ]
+    )
+    # score filter (reference keeps score > min_confidence)
+    keep = score > params["min_confidence"]
+
+    top_score, top_i = jax.lax.top_k(
+        jnp.where(keep, score, -jnp.inf), cfg.max_bots
+    )
+    valid = top_score > 0.0
+    pos_b = pos[top_i]
+    orient_b = orient[top_i]
+    score_b = jnp.where(valid, top_score, 0.0)
+
+    kept = clipping_nms(
+        pos_b, orient_b, score_b, valid, params["clipping_tolerance"]
+    )
+
+    ball_clip = bot_ball_clipping(
+        pos_b,
+        orient_b,
+        blob_pos,
+        params["ball_radius"],
+        params["clipping_tolerance"],
+    )
+    ball_clip = jnp.any(ball_clip & kept[:, None], axis=0) & blob_valid
+
+    return {
+        "bot_pos": pos_b,
+        "bot_orientation": orient_b,
+        "bot_score": score_b,
+        "bot_blob_idx": blob_idx[top_i],
+        "bot_tracked_id": tracked_id[top_i],
+        "bot_valid": kept,
+        "ball_clipped": ball_clip,
+    }

@@ -1,0 +1,281 @@
+"""Host half of the detection step: id assignment, color recalibration,
+ball finalization, protobuf emission.
+
+Consumes the small tensors returned by the device detector
+(models/detector.py) plus the blob slots, and finishes the frame exactly in
+the reference's order (reference src/main.cpp:320-371): colors update on the
+pre-update ids, ids/scores recalculated with the new colors, then ball
+score / camera-edge / stddev filters.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from ..proto import SSL_DetectionFrame
+from .colors import ColorState
+from .kmeans import kmeans2
+from .pattern import PATTERN_LUT
+
+_SQ = lambda v: float(np.dot(v, v))
+
+
+@dataclass
+class BotDetection:
+    pos: np.ndarray  # field mm (2,)
+    orientation: float
+    score: float
+    blob_idx: np.ndarray  # (5,) int, -1 = missing slot
+    tracked_id: int  # -1 for detection hypotheses
+    blob_colors: list = dc_field(default_factory=list)  # (5) of int3 / None
+    bot_id: int = -1
+
+
+@dataclass
+class BallDetection:
+    pos: np.ndarray  # field mm (2,)
+    blob_color: np.ndarray  # disc mean dRGB
+    blob_center: np.ndarray  # center pixel dRGB
+    blob_score: float  # circ / stddev score from the blob machine
+    score: float = 1.0
+
+
+def calc_bot_id(colors: ColorState, blob_colors) -> int:
+    """Robot id from the side-blob green/pink split + team color
+    (reference src/blobs/hypothesis.cpp:216-227)."""
+    center = np.asarray(blob_colors[0], dtype=np.int64)
+    sides = [np.asarray(c, dtype=np.int64) for c in blob_colors[1:5]]
+    _, green, pink = kmeans2(center, sides, colors.green, colors.pink)
+
+    bits = 0
+    for i, c in enumerate(sides):
+        if _SQ(c - green) < _SQ(c - pink):
+            bits |= 1 << (3 - i)
+    team_blue = _SQ(center - colors.blue) < _SQ(center - colors.yellow)
+    return (16 if team_blue else 0) + int(PATTERN_LUT[bits])
+
+
+def ball_color_score(colors: ColorState, blob_color: np.ndarray) -> float:
+    """1 - orange/false-orange distance ratio, zeroed when the blob is closer
+    to the field or field-line color (reference src/blobs/hypothesis.cpp:83-94)."""
+    c = np.asarray(blob_color, dtype=np.float64)
+    false_orange = _SQ(c - colors.field)
+    orange = _SQ(c - colors.orange)
+    field_line = _SQ(c - colors.field_line)
+    if false_orange <= orange or field_line <= orange:
+        return 0.0
+    return 1.0 - orange / false_orange
+
+
+def tracked_color_veto(colors: ColorState, bot: BotDetection) -> bool:
+    """True when any blob color contradicts the known pattern
+    (reference src/blobs/hypothesis.cpp:245-270)."""
+    from .pattern import PATTERNS
+
+    blob_amount = sum(1 for c in bot.blob_colors if c is not None)
+    if blob_amount < 2:
+        return True
+    pattern = int(PATTERNS[bot.bot_id % 16])
+    for i, c in enumerate(bot.blob_colors):
+        if c is None:
+            continue
+        c = np.asarray(c, dtype=np.int64)
+        if i == 0:
+            expected = colors.blue if bot.bot_id >= 16 else colors.yellow
+            opposite = colors.yellow if bot.bot_id >= 16 else colors.blue
+        else:
+            green = (pattern >> (4 - i)) & 1
+            expected = colors.green if green else colors.pink
+            opposite = colors.pink if green else colors.green
+        if _SQ(c - opposite) - _SQ(c - expected) <= 0:
+            return True
+    return False
+
+
+def balls_at_lines(field, geometry_tolerance, ball_pos: np.ndarray) -> np.ndarray:
+    """(n,) mask of ball positions lying on a field marking
+    (reference src/blobs/colorupdate.cpp:21-40), vectorized."""
+    n = len(ball_pos)
+    mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return mask
+    max_d = field.line_thickness / 2 + geometry_tolerance
+    for line in field.field_lines:
+        p1 = np.array([line.p1.x, line.p1.y])
+        p2 = np.array([line.p2.x, line.p2.y])
+        v = p2 - p1
+        vv = float(v @ v)
+        w = ball_pos - p1
+        t = np.clip((w @ v) / vv, 0.0, 1.0) if vv > 0 else np.zeros(n)
+        d2 = np.sum((w - t[:, None] * v) ** 2, axis=-1)
+        mask |= d2 <= max_d * max_d
+    for arc in field.field_arcs:
+        rel = ball_pos - [arc.center.x, arc.center.y]
+        ang = np.arctan2(rel[:, 1], rel[:, 0])
+        ang = np.where(ang < 0, ang + 2 * np.pi, ang)
+        r = np.linalg.norm(rel, axis=-1)
+        mask |= (
+            (np.abs(r - arc.radius) <= max_d) & (ang >= arc.a1) & (ang <= arc.a2)
+        )
+    return mask
+
+
+class HostDetector:
+    """Stateful host-side finisher for detector outputs."""
+
+    def __init__(self, config, colors: ColorState, perspective):
+        self.config = config
+        self.colors = colors
+        self.perspective = perspective
+
+    # -- assembly -----------------------------------------------------------
+
+    def build_bots(self, det: dict, blobs: dict) -> list[BotDetection]:
+        bots = []
+        valid = det["bot_valid"]
+        colors_arr = blobs["color"]
+        for i in np.flatnonzero(valid):
+            idx = det["bot_blob_idx"][i]
+            blob_colors = [
+                colors_arr[j].astype(np.int64) if j >= 0 else None for j in idx
+            ]
+            bot = BotDetection(
+                pos=det["bot_pos"][i],
+                orientation=float(det["bot_orientation"][i]),
+                score=float(det["bot_score"][i]),
+                blob_idx=idx,
+                tracked_id=int(det["bot_tracked_id"][i]),
+                blob_colors=blob_colors,
+            )
+            if bot.tracked_id >= 0:
+                bot.bot_id = bot.tracked_id
+            else:
+                bot.bot_id = calc_bot_id(self.colors, blob_colors)
+            bots.append(bot)
+        return bots
+
+    def build_balls(self, det: dict, blobs: dict) -> list[BallDetection]:
+        keep = blobs["valid"] & ~det["ball_clipped"]
+        balls = []
+        for j in np.flatnonzero(keep):
+            ball = BallDetection(
+                pos=blobs["field_pos"][j],
+                blob_color=blobs["color"][j].astype(np.int64),
+                blob_center=blobs["center"][j].astype(np.int64),
+                blob_score=float(blobs["score"][j]),
+            )
+            ball.score = ball_color_score(self.colors, ball.blob_color)
+            balls.append(ball)
+        return balls
+
+    # -- color update + recalc ---------------------------------------------
+
+    def update_colors(self, bots, balls, max_bot_height: float) -> None:
+        self.colors.update(bots, balls)
+        if balls:
+            pos = np.array([b.pos for b in balls])
+            img = self.perspective.model.field2image(
+                np.concatenate([pos, np.full((len(pos), 1), max_bot_height)], axis=1)
+            )
+            ball_radius = self.perspective.field.ball_radius or 21.5
+            ground = self.perspective.model.image2field(img, ball_radius)[:, :2]
+            at_line = balls_at_lines(
+                self.perspective.field,
+                self.config.geometry_tolerance,
+                np.nan_to_num(ground, nan=1e9),
+            )
+            self.colors.update_field_line(
+                [balls[i].blob_color for i in np.flatnonzero(at_line)]
+            )
+
+    def recalc_post_color(self, bots, balls) -> None:
+        for bot in bots:
+            if bot.tracked_id >= 0:
+                if tracked_color_veto(self.colors, bot):
+                    bot.score = 0.0
+            else:
+                bot.bot_id = calc_bot_id(self.colors, bot.blob_colors)
+        for ball in balls:
+            ball.score = ball_color_score(self.colors, ball.blob_color)
+
+    # -- final filters ------------------------------------------------------
+
+    def filter_balls(self, balls, max_bot_height: float) -> list[BallDetection]:
+        out = [b for b in balls if b.score > self.config.min_confidence]
+        out = [b for b in out if b.blob_score > self.config.min_score]
+        if not out:
+            return out
+
+        # camera-edge filter (reference src/main.cpp:160-192)
+        model = self.perspective.model
+        field = self.perspective.field
+        from .camera import goal_boundary_width
+
+        half_len = field.field_length / 2 + goal_boundary_width(field)
+        half_wid = field.field_width / 2 + field.boundary_width
+        min_d2 = self.config.min_cam_edge_distance**2
+        w, h = float(model.size[0]), float(model.size[1])
+
+        kept = []
+        for ball in out:
+            img = model.field2image(
+                np.array([ball.pos[0], ball.pos[1], max_bot_height])
+            )
+            borders = np.array(
+                [[0.0, img[1]], [w - 1, img[1]], [img[0], 0.0], [img[0], h - 1]]
+            )
+            bpos = model.image2field(borders, max_bot_height)[:, :2]
+            inside = (
+                (np.abs(bpos[:, 0]) <= half_len)
+                & (np.abs(bpos[:, 1]) <= half_wid)
+                & np.isfinite(bpos).all(axis=1)
+            )
+            d2 = np.sum((bpos - ball.pos) ** 2, axis=-1)
+            if not np.any(inside & (d2 < min_d2)):
+                kept.append(ball)
+        return kept
+
+    # -- emission -----------------------------------------------------------
+
+    def emit(
+        self,
+        frame: SSL_DetectionFrame,
+        bots,
+        balls,
+        gc_heights,
+        max_bot_height: float,
+    ) -> None:
+        """Append detections (reference src/blobs/hypothesis.cpp:70-81,141-154)."""
+        model = self.perspective.model
+        field = self.perspective.field
+        ball_radius = field.ball_radius or 21.5
+        for bot in bots:
+            yellow = bot.bot_id < 16
+            img = model.field2image(
+                np.array([bot.pos[0], bot.pos[1], max_bot_height])
+            )
+            height = gc_heights["yellow" if yellow else "blue"]
+            bot_pos = model.image2field(img, height)
+            entry = (
+                frame.robots_yellow.add() if yellow else frame.robots_blue.add()
+            )
+            entry.confidence = bot.score
+            entry.robot_id = bot.bot_id % 16
+            entry.x = float(bot_pos[0])
+            entry.y = float(bot_pos[1])
+            entry.height = float(bot_pos[2])
+            entry.orientation = bot.orientation
+            entry.pixel_x = float(img[0])
+            entry.pixel_y = float(img[1])
+        for ball in balls:
+            img = model.field2image(
+                np.array([ball.pos[0], ball.pos[1], max_bot_height])
+            )
+            pos = model.image2field(img, ball_radius)
+            entry = frame.balls.add()
+            entry.confidence = ball.score
+            entry.x = float(pos[0])
+            entry.y = float(pos[1])
+            entry.pixel_x = float(img[0])
+            entry.pixel_y = float(img[1])
