@@ -1,0 +1,191 @@
+"""Multi-camera tests: vmap batch on one device and shard_map over the
+virtual 8-device CPU mesh, including the ICI tracking exchange."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_processor_tpu.io.synthetic import Scene, SceneBall, SceneBot, render_raw
+from vision_processor_tpu.models.camera import CameraModel
+from vision_processor_tpu.models.detector import DetectorConfig
+from vision_processor_tpu.models.perspective import Perspective
+from vision_processor_tpu.ops.pipeline import BlobMachineConfig
+from vision_processor_tpu.parallel import multicam as M
+
+MAXH = 150.0
+
+
+def make_rig(divb_field, n_cams):
+    """n_cams identical-geometry cameras over different field cells."""
+    geometry = divb_field.geometry
+    cams = []
+    for cam_id in range(n_cams):
+        from vision_processor_tpu.models.camera import (
+            visible_field_extent_estimation,
+        )
+
+        lo, hi = visible_field_extent_estimation(
+            cam_id, n_cams, geometry.field, False
+        )
+        center = (lo + hi) / 2
+        model = CameraModel(
+            focal_length=900.0,
+            principal_point=np.array([480.0, 360.0]),
+            distortion_k2=0.02,
+            pos=np.array([center[0], center[1], 4500.0]),
+            size=np.array([960, 720]),
+        )
+        persp = Perspective(cam_id=cam_id)
+        geometry.ClearField("calib")
+        geometry.calib.append(model.to_proto(cam_id))
+        assert persp.update_geometry(geometry, cam_id + 1, 960, 720, MAXH, 1.0)
+        cams.append((model, persp))
+    return cams
+
+
+def build_cfg(cams, n_cams, raw_shape):
+    """Shared static config: flat grid padded to the max over cameras."""
+    hf = max(int(p.reprojected_field_size[1]) for _, p in cams)
+    wf = max(int(p.reprojected_field_size[0]) for _, p in cams)
+    ref = cams[0][1]
+    bm = BlobMachineConfig(
+        fmt="RGGB",
+        raw_shape=raw_shape,
+        flat_shape=(hf, wf),
+        field_scale=float(ref.field_scale),
+        field_offset=(0.0, 0.0),
+        grad_offset=1,
+        sat_radius=5,
+        disc_radius=4,
+        max_blobs=128,
+    )
+    det = DetectorConfig(max_blobs=128, max_anchors=128, max_tracked=32)
+    return M.MultiCamConfig(bm=bm, det=det, n_cams=n_cams)
+
+
+def params(dt=0.01):
+    return {
+        "max_bot_height": jnp.float32(MAXH),
+        "min_circularity": jnp.float32(15.0),
+        "max_robot_radius": jnp.float32(90.0),
+        "min_tracking_radius": jnp.float32(20.0),
+        "max_bot_acceleration": jnp.float32(6500.0),
+        "min_confidence": jnp.float32(0.2),
+        "clipping_tolerance": jnp.float32(10.0),
+        "ball_radius": jnp.float32(21.5),
+        "tracked_time_delta": jnp.float32(dt),
+    }
+
+
+@pytest.fixture(scope="module")
+def rig2(divb_field):
+    n = 2
+    cams = make_rig(divb_field, n)
+    scenes = [
+        Scene(bots=[SceneBot(3, "yellow", -2800.0, 600.0, 0.7)],
+              balls=[SceneBall(-3400.0, -1200.0)]),
+        Scene(bots=[SceneBot(7, "blue", 2000.0, -800.0, -1.9)], balls=[]),
+    ]
+    raws = np.stack(
+        [
+            render_raw(model, divb_field.geometry.field, scene, "RGGB")
+            for (model, _), scene in zip(cams, scenes)
+        ]
+    )
+    cfg = build_cfg(cams, n, raws.shape[1:])
+    packed = np.stack([m.packed() for m, _ in cams])
+    scales = np.array([p.field_scale for _, p in cams], dtype=np.float32)
+    offsets = np.stack(
+        [
+            np.array(
+                [p.visible_field_extent[0], p.visible_field_extent[2]],
+                dtype=np.float32,
+            )
+            for _, p in cams
+        ]
+    )
+    colors = np.stack(
+        [np.zeros((7, 3), dtype=np.float32) + _default_colors() for _ in range(n)]
+    )
+    return cfg, raws, packed, scales, offsets, colors
+
+
+def _default_colors():
+    from vision_processor_tpu.models.colors import ColorState
+
+    return ColorState().packed()
+
+
+def _check_outputs(cfg, blobs, det, summary):
+    count = np.asarray(blobs["count"])
+    assert count.shape == (cfg.n_cams,)
+    assert count[0] >= 6  # bot + ball on cam 0
+    assert count[1] >= 5
+    bots0 = np.asarray(det["bot_valid"][0]).sum()
+    bots1 = np.asarray(det["bot_valid"][1]).sum()
+    assert bots0 == 1 and bots1 == 1
+    ids = np.asarray(summary["id"])
+    assert 3 in ids[0]
+    assert 16 + 7 in ids[1]
+
+
+def test_batched_vmap_step(rig2):
+    cfg, raws, packed, scales, offsets, colors = rig2
+    step = M.batched_step(cfg)
+    prev = M.empty_summary(cfg)
+    blobs, det, summary = step(raws, packed, scales, offsets, colors, prev, params())
+    _check_outputs(cfg, blobs, det, summary)
+    # second frame with feedback: tracked priors now active, same detections
+    blobs, det, summary2 = step(raws, packed, scales, offsets, colors, summary, params())
+    _check_outputs(cfg, blobs, det, summary2)
+
+
+def test_sharded_step_8_devices(divb_field):
+    n = len(jax.devices())
+    assert n == 8, "conftest must provide 8 virtual cpu devices"
+    cams = make_rig(divb_field, n)
+    scenes = []
+    for cam_id, (model, persp) in enumerate(cams):
+        lo = persp.visible_field_extent
+        cx = (lo[0] + lo[1]) / 2
+        cy = (lo[2] + lo[3]) / 2
+        scenes.append(
+            Scene(bots=[SceneBot(cam_id, "yellow", cx, cy, 0.3 * cam_id)], balls=[])
+        )
+    raws = np.stack(
+        [
+            render_raw(model, divb_field.geometry.field, scene, "RGGB")
+            for (model, _), scene in zip(cams, scenes)
+        ]
+    )
+    cfg = build_cfg(cams, n, raws.shape[1:])
+    packed = np.stack([m.packed() for m, _ in cams])
+    scales = np.array([p.field_scale for _, p in cams], dtype=np.float32)
+    offsets = np.stack(
+        [
+            np.array([p.visible_field_extent[0], p.visible_field_extent[2]],
+                     dtype=np.float32)
+            for _, p in cams
+        ]
+    )
+    colors = np.stack([_default_colors() for _ in range(n)])
+
+    mesh = M.make_camera_mesh()
+    step = M.sharded_step(cfg, mesh)
+    prev = M.empty_summary(cfg)
+    blobs, det, gathered = step(raws, packed, scales, offsets, colors, prev, params())
+
+    # every camera detected its bot, and the all_gather made every camera's
+    # summary visible fleet-wide
+    valid = np.asarray(det["bot_valid"]).reshape(n, -1)
+    assert (valid.sum(axis=1) == 1).all()
+    ids = np.asarray(gathered["id"])
+    found = {int(i) for i in ids[ids >= 0]}
+    assert found == set(range(n))
+
+    # feedback round through the tracked path
+    blobs, det, gathered2 = step(
+        raws, packed, scales, offsets, colors, gathered, params()
+    )
+    valid = np.asarray(det["bot_valid"]).reshape(n, -1)
+    assert (valid.sum(axis=1) == 1).all()

@@ -30,6 +30,7 @@ from .pattern import (
     MIN_ROBOT_RADIUS,
     PATTERNS,
     PATTERN_ANGLES_B2B,
+    PATTERN_LUT,
     PATTERN_POS,
 )
 
@@ -522,3 +523,29 @@ def detect(
         "bot_valid": kept,
         "ball_clipped": ball_clip,
     }
+
+
+def estimate_bot_ids(det, blob_color, colors):
+    """In-graph bot id estimate for device-resident multi-camera loops.
+
+    The production path assigns ids on the host with the guarded 2-means
+    (host_detect.calc_bot_id); this cheap estimator classifies each side blob
+    against the current green/pink colors directly and the team by the center
+    blob. Tracked bots keep their known id.
+    """
+    yellow, blue, green, pink = colors[2], colors[3], colors[4], colors[5]
+    idx = det["bot_blob_idx"]  # (B, 5)
+    safe = jnp.maximum(idx, 0)
+    c = blob_color[safe]  # (B, 5, 3)
+    d_green = jnp.sum((c - green) ** 2, axis=-1)
+    d_pink = jnp.sum((c - pink) ** 2, axis=-1)
+    bits = (d_green[:, 1:5] < d_pink[:, 1:5]).astype(jnp.int32)
+    mask = (
+        bits[:, 0] * 8 + bits[:, 1] * 4 + bits[:, 2] * 2 + bits[:, 3]
+    )
+    base_id = jnp.asarray(PATTERN_LUT)[mask]
+    d_blue = jnp.sum((c[:, 0] - blue) ** 2, axis=-1)
+    d_yellow = jnp.sum((c[:, 0] - yellow) ** 2, axis=-1)
+    team16 = jnp.where(d_blue < d_yellow, 16, 0)
+    est = base_id + team16
+    return jnp.where(det["bot_tracked_id"] >= 0, det["bot_tracked_id"], est)

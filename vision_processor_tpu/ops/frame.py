@@ -115,8 +115,8 @@ def resample_flat(
     planes: jnp.ndarray,
     packed_cam: jnp.ndarray,
     max_bot_height: jnp.ndarray,
-    field_scale: float,
-    field_offset: tuple[float, float],
+    field_scale,
+    field_offset,
     out_shape: tuple[int, int],
     fmt: str,
 ) -> jnp.ndarray:
@@ -124,9 +124,12 @@ def resample_flat(
 
     Each output pixel (x, y) corresponds to field position
     (x * field_scale + offx, y * field_scale + offy, max_bot_height); its
-    image position comes from the packed camera model. out_shape is (H, W).
+    image position comes from the packed camera model. out_shape is (H, W)
+    and static; field_scale / field_offset may be traced values (per-camera
+    dynamic geometry for batched multi-camera runs).
     """
     hf, wf = out_shape
+    field_offset = jnp.asarray(field_offset, dtype=jnp.float32)
     ys = jnp.arange(hf, dtype=jnp.float32) * field_scale + field_offset[1]
     xs = jnp.arange(wf, dtype=jnp.float32) * field_scale + field_offset[0]
     gx, gy = jnp.meshgrid(xs, ys)  # (hf, wf)

@@ -77,18 +77,26 @@ def blob_machine(
     packed_cam: jnp.ndarray,
     max_bot_height: jnp.ndarray,
     circ_threshold: jnp.ndarray,
+    field_scale=None,
+    field_offset=None,
 ):
     """Full frame -> blobs graph. Returns a dict of blob slots (+ debug maps).
 
     Blob positions are in field mm (flat2field applied in-graph).
+    field_scale / field_offset default to the static config values; pass
+    traced per-camera values to batch cameras with differing geometry.
     """
+    if field_scale is None:
+        field_scale = cfg.field_scale
+    if field_offset is None:
+        field_offset = cfg.field_offset
     planes = F.raw2quad(raw, cfg.fmt)
     flat = F.resample_flat(
         planes,
         packed_cam,
         max_bot_height,
-        cfg.field_scale,
-        cfg.field_offset,
+        field_scale,
+        field_offset,
         cfg.flat_shape,
         cfg.fmt,
     )
@@ -105,8 +113,8 @@ def blob_machine(
     )
 
     # flat-grid px -> field mm
-    offset = jnp.array(cfg.field_offset, dtype=jnp.float32)
-    blobs["field_pos"] = blobs["pos"] * cfg.field_scale + offset
+    offset = jnp.asarray(field_offset, dtype=jnp.float32)
+    blobs["field_pos"] = blobs["pos"] * field_scale + offset
 
     if cfg.debug_images:
         blobs["flat"] = flat

@@ -1,0 +1,229 @@
+"""Multi-camera scale-out: batched per-chip and sharded across a device mesh.
+
+The reference runs one OS process per camera coordinated only by UDP
+multicast packets, including cross-camera tracking input and clock sync
+(reference README architecture, src/udpsocket.cpp:204-301). The TPU-native
+formulation:
+
+* one chip, N cameras  -> vmap the full step over a leading camera axis
+* N chips              -> shard_map over a 1-D ``Mesh(("cam",))``; each device
+  owns its camera's frame, and the cross-camera tracking exchange is a
+  ``jax.lax.all_gather`` of compact detection summaries over ICI — the
+  collective replacing the multicast bus (host UDP multicast is still
+  emitted for external wire compatibility).
+
+The device-resident loop carries (previous detections, timestamps) as scan
+state so tracked-bot search feeds from all cameras without host round trips.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.detector import DetectorConfig, detect, estimate_bot_ids
+from ..ops.pipeline import BlobMachineConfig, blob_machine
+
+CAM_AXIS = "cam"
+
+
+@dataclass(frozen=True)
+class MultiCamConfig:
+    bm: BlobMachineConfig
+    det: DetectorConfig
+    n_cams: int
+
+
+def _single_cam_step(
+    cfg: MultiCamConfig,
+    raw,
+    packed_cam,
+    field_scale,
+    field_offset,
+    colors7,
+    tracked,
+    params,
+):
+    """One camera's frame -> (blob slots, detection summary)."""
+    blobs = blob_machine(
+        cfg.bm,
+        raw,
+        packed_cam,
+        params["max_bot_height"],
+        params["min_circularity"],
+        field_scale=field_scale,
+        field_offset=field_offset,
+    )
+    det = detect(cfg.det, blobs, tracked, colors7[:6], packed_cam, params)
+    bot_id = estimate_bot_ids(det, blobs["color"], colors7)
+    summary = {
+        "pos": det["bot_pos"],
+        "orientation": det["bot_orientation"],
+        "score": jnp.where(det["bot_valid"], det["bot_score"], 0.0),
+        "id": jnp.where(det["bot_valid"], bot_id, -1),
+    }
+    out_blobs = {
+        k: blobs[k]
+        for k in ("field_pos", "color", "center", "circ", "score", "valid", "count")
+    }
+    return out_blobs, det, summary
+
+
+def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta):
+    """Build tracked-bot arrays from (all cameras') detection summaries.
+
+    summaries: dict of stacked (n_cams, B, ...) arrays from the previous
+    frame. Keeps the top ``max_tracked`` by score. Velocities are zero —
+    the device loop re-detects every frame, so the tracked prior is the
+    last known pose (the host loop supplies finite-difference velocities
+    through the UDP tracker instead).
+    """
+    t = det_cfg.max_tracked
+    pos = summaries["pos"].reshape(-1, 2)
+    orient = summaries["orientation"].reshape(-1)
+    score = summaries["score"].reshape(-1)
+    ids = summaries["id"].reshape(-1)
+    valid = (score > 0.0) & (ids >= 0)
+
+    top_score, top_i = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), t)
+    keep = top_score > 0.0
+    zero = jnp.zeros(t, dtype=jnp.float32)
+    return {
+        "id": jnp.where(keep, ids[top_i], -1).astype(jnp.int32),
+        "x": pos[top_i, 0],
+        "y": pos[top_i, 1],
+        "z": jnp.full(t, 143.0, dtype=jnp.float32),
+        "w": orient[top_i],
+        "vx": zero,
+        "vy": zero,
+        "vw": zero,
+        "time_delta": jnp.full(t, time_delta, dtype=jnp.float32),
+        "valid": keep,
+    }
+
+
+# ---------------------------------------------------------------------------
+# single chip: vmap over cameras
+# ---------------------------------------------------------------------------
+
+
+def batched_step(cfg: MultiCamConfig):
+    """Returns a jitted fn processing all cameras of one chip in one program.
+
+    Inputs carry a leading camera axis; tracked priors are shared (every
+    camera sees the fleet's previous detections).
+    """
+
+    def step(raws, packed_cams, field_scales, field_offsets, colors7, prev_summary, params):
+        tracked = tracked_from_summaries(
+            cfg.det, prev_summary, params["tracked_time_delta"]
+        )
+        blobs, det, summary = jax.vmap(
+            partial(_single_cam_step, cfg),
+            in_axes=(0, 0, 0, 0, 0, None, None),
+        )(raws, packed_cams, field_scales, field_offsets, colors7, tracked, params)
+        return blobs, det, summary
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# multi chip: shard_map over a camera mesh
+# ---------------------------------------------------------------------------
+
+
+def make_camera_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (CAM_AXIS,))
+
+
+def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
+    """Returns a jitted fn with one camera per device.
+
+    Per-device: local blob machine + hypothesis search. The detection
+    summaries are all-gathered over ICI so every camera's next frame can
+    track every robot on the field.
+    """
+
+    def per_device(raw, packed_cam, field_scale, field_offset, colors7, prev_gathered, params):
+        # raw etc. arrive with a leading local shard axis of size 1
+        tracked = tracked_from_summaries(
+            cfg.det, prev_gathered, params["tracked_time_delta"]
+        )
+        blobs, det, summary = _single_cam_step(
+            cfg,
+            raw[0],
+            packed_cam[0],
+            field_scale[0],
+            field_offset[0],
+            colors7[0],
+            tracked,
+            params,
+        )
+        # ICI collective: share this camera's detections with the fleet
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, CAM_AXIS), summary
+        )
+        blobs = jax.tree.map(lambda x: x[None], blobs)
+        det = jax.tree.map(lambda x: x[None], det)
+        return blobs, det, gathered
+
+    spec_cam = P(CAM_AXIS)
+    spec_rep = P()
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec_cam, spec_cam, spec_cam, spec_cam, spec_cam, spec_rep, spec_rep),
+        out_specs=(spec_cam, spec_cam, spec_rep),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def empty_summary(cfg: MultiCamConfig) -> dict:
+    b = cfg.det.max_bots
+    n = cfg.n_cams
+    return {
+        "pos": jnp.zeros((n, b, 2), dtype=jnp.float32),
+        "orientation": jnp.zeros((n, b), dtype=jnp.float32),
+        "score": jnp.zeros((n, b), dtype=jnp.float32),
+        "id": jnp.full((n, b), -1, dtype=jnp.int32),
+    }
+
+
+def make_rollout(cfg: MultiCamConfig, step_fn, n_frames: int):
+    """Device-resident N-frame loop via lax.scan (for sustained-rate
+    benchmarking): each iteration processes the next frame-set from a bank of
+    distinct frames (so no stage is loop-invariant and the whole pipeline
+    really runs every step) and feeds the previous detections back as
+    tracking priors. Returns a jitted fn(raw_bank, packed, scales, offsets,
+    colors, params) with raw_bank (K, n_cams, ...)."""
+
+    def scan_fn(raw_bank, packed_cams, field_scales, field_offsets, colors7, params):
+        n_bank = raw_bank.shape[0]
+
+        def body(carry, _):
+            i, prev_summary = carry
+            raws = jax.lax.dynamic_index_in_dim(
+                raw_bank, i % n_bank, axis=0, keepdims=False
+            )
+            blobs, det, summary = step_fn(
+                raws, packed_cams, field_scales, field_offsets, colors7,
+                prev_summary, params,
+            )
+            compact = {
+                "count": blobs["count"],
+                "bot_valid": det["bot_valid"],
+                "bot_pos": det["bot_pos"],
+            }
+            return (i + 1, summary), compact
+
+        init = (jnp.int32(0), empty_summary(cfg))
+        return jax.lax.scan(body, init, None, length=n_frames)
+
+    return jax.jit(scan_fn)
