@@ -1,0 +1,213 @@
+"""vision_processor entry point: the production per-camera loop.
+
+Usage: python -m vision_processor_tpu.app.main [config.yml]
+
+Orchestration mirrors the reference main loop (reference src/main.cpp:251-427):
+read frame -> adopt geometry -> detection path when calibrated, calibration
+path when geometry known but uncalibrated, raw streaming otherwise; multicast
+the detection frame, run clock sync, feed the debug stream + snapshots.
+"""
+from __future__ import annotations
+
+import signal
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ..io.camera import open_camera
+from ..io.rtp import RTPStreamer
+from ..io.snapshot import SnapshotWriter
+from ..net.udp import GCSocket, VisionSocket, get_real_time
+from ..proto import SSL_WrapperPacket, SSL_SOURCE_VISION_PROCESSOR
+from ..utils.config import VisionConfig
+from ..utils.log import get_logger
+from .processor import Processor, TrackedArrays
+
+log = get_logger(__name__)
+
+
+class App:
+    def __init__(self, config_path: str | None):
+        self.config = VisionConfig.load(config_path)
+        cfg = self.config
+
+        heights_path = Path(cfg.bot_heights_file)
+        if heights_path.exists():
+            bot_heights = yaml.safe_load(heights_path.read_text()) or {}
+        else:
+            bot_heights = {}
+        self.gc_socket = GCSocket(cfg.gc_ip, cfg.gc_port, bot_heights)
+        self.socket = VisionSocket(
+            cfg.vision_ip, cfg.vision_port, cfg.cam_id,
+            self.gc_socket.default_bot_height,
+        )
+        self.camera = open_camera(cfg.camera)
+        self.processor = Processor(cfg, self.socket, self.gc_socket)
+        self.streamer = RTPStreamer(cfg.stream_active, cfg.stream_url())
+        self.snapshots = SnapshotWriter()
+        self.running = True
+        self._last_snapshot = 0.0
+        self._debug_view = 0
+
+        if cfg.wait_for_geometry:
+            log.info("Waiting for geometry...")
+            while self.socket.geometry_version == 0:
+                self.socket.geometry_check()
+                time.sleep(0.001)
+
+    def stop(self, *_):
+        self.running = False
+
+    # -- per-frame paths ----------------------------------------------------
+
+    def run(self):
+        frame_id = 0
+        while self.running:
+            self.config.reload_if_changed()
+            frame = self.camera.read_image()
+            if frame is None:
+                break
+            frame_id += 1
+            start = self.camera.get_time()
+            real_start = get_real_time()
+
+            self.processor.geometry_check(frame.width, frame.height)
+
+            if self.processor.perspective.geometry_version:
+                self._detection_path(frame, start, real_start)
+            elif self.socket.geometry_version:
+                self._calibration_path(frame, real_start)
+            else:
+                self._idle_path(frame, frame_id, real_start)
+
+        log.info("Stopping vision_processor")
+        self.close()
+
+    def _detection_path(self, frame, start, real_start):
+        tracked = TrackedArrays.build(
+            self.socket.get_tracked_objects(), start,
+            self.processor.det_cfg.max_tracked,
+        )
+        device_out = self.processor.device_step(frame.data, frame.fmt, tracked)
+        wrapper, blobs, det = self.processor.finish_frame(
+            device_out, start, frame.timestamp
+        )
+        wrapper.detection.t_sent = self.camera.get_time()
+        self.socket.send(wrapper)
+        self.socket.update_time()
+
+        processing = get_real_time() - real_start
+        if processing > self.camera.expected_frametime():
+            log.info(
+                "frame time overrun: %.1f ms, %d blobs, %d balls, %d bots",
+                processing * 1e3,
+                int(blobs["count"]),
+                len(wrapper.detection.balls),
+                len(wrapper.detection.robots_yellow)
+                + len(wrapper.detection.robots_blue),
+            )
+
+        self._stream_and_snapshot(frame, real_start)
+
+    def _calibration_path(self, frame, real_start):
+        from ..calib.geometry import geometry_calibration
+        from ..ops.frame import quad2rgba, raw2quad
+
+        import jax.numpy as jnp
+
+        planes = raw2quad(jnp.asarray(frame.data), frame.fmt)
+        rgb = np.asarray(quad2rgba(planes, frame.fmt))
+        model = geometry_calibration(
+            self.config, self.socket.geometry.field, rgb
+        )
+        if model is not None:
+            wrapper = SSL_WrapperPacket()
+            wrapper.source = SSL_SOURCE_VISION_PROCESSOR
+            wrapper.geometry.CopyFrom(self.socket.geometry)
+            wrapper.geometry.ClearField("calib")
+            wrapper.geometry.calib.append(model.to_proto(self.config.cam_id))
+            self.socket.send(wrapper)
+        self._maybe_snapshot_raw(rgb, real_start)
+
+    def _idle_path(self, frame, frame_id, real_start):
+        import jax.numpy as jnp
+
+        from ..ops.frame import quad2rgba, raw2quad
+
+        planes = raw2quad(jnp.asarray(frame.data), frame.fmt)
+        rgb = np.asarray(quad2rgba(planes, frame.fmt))
+        self.streamer.send_frame(rgb.astype(np.uint8))
+        periodic = (
+            self.config.debug_stream_interval_ms > 0
+            and (real_start - self._last_snapshot) * 1e3
+            >= self.config.debug_stream_interval_ms
+        )
+        if frame_id == 100 or periodic:
+            self.snapshots.offer(
+                rgb, f"img/{self.config.cam_id}.raw.jpg"
+            )
+            self._last_snapshot = real_start
+            if frame_id == 100:
+                log.info("Saved sample image")
+
+    # -- debug output -------------------------------------------------------
+
+    def _stream_and_snapshot(self, frame, real_start):
+        cfg = self.config
+        want_stream = self.streamer.active
+        want_snapshot = (
+            cfg.debug_stream_interval_ms > 0
+            and (real_start - self._last_snapshot) * 1e3
+            >= cfg.debug_stream_interval_ms
+        )
+        if not (want_stream or want_snapshot):
+            return
+
+        out = self.processor.debug_views(frame.data, frame.fmt)
+        if want_stream:
+            if cfg.raw_feed:
+                view = out["raw_rgb"]
+            else:
+                # cycle the 4 debug views every 20 s like the reference
+                views = ["raw_rgb", "flat_rgb", "grad_rgb", "circ_rgb"]
+                idx = int(self.camera.get_time() / 20.0) % 4
+                view = out[views[idx]]
+            self.streamer.send_frame(view)
+        if want_snapshot:
+            prefix = f"img/{cfg.cam_id}."
+            self.snapshots.offer(out["raw_rgb"], prefix + "raw.jpg")
+            self.snapshots.offer(out["flat_rgb"], prefix + "flat.jpg")
+            self.snapshots.offer(out["grad_rgb"], prefix + "gradient.jpg")
+            self.snapshots.offer(out["circ_rgb"], prefix + "blob.jpg")
+            self._last_snapshot = real_start
+
+    def _maybe_snapshot_raw(self, rgb, real_start):
+        if (
+            self.config.debug_stream_interval_ms > 0
+            and (real_start - self._last_snapshot) * 1e3
+            >= self.config.debug_stream_interval_ms
+        ):
+            self.snapshots.offer(rgb, f"img/{self.config.cam_id}.raw.jpg")
+            self._last_snapshot = real_start
+
+    def close(self):
+        self.streamer.close()
+        self.snapshots.close()
+        self.socket.close()
+        self.gc_socket.close()
+        self.camera.close()
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    app = App(argv[0] if argv else "config.yml")
+    signal.signal(signal.SIGTERM, app.stop)
+    signal.signal(signal.SIGINT, app.stop)
+    app.run()
+
+
+if __name__ == "__main__":
+    main()

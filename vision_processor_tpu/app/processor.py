@@ -148,6 +148,7 @@ class Processor:
             max_blobs=config.max_blobs, max_tracked=max_tracked
         )
         self._step = None
+        self._debug_fn = None
         self._bm_cfg = None
         self._geom_key = None
         self.frame_id = 0
@@ -200,6 +201,7 @@ class Processor:
             self.perspective, fmt, raw_shape, max_blobs=self.config.max_blobs
         )
         self._step = jax.jit(partial(full_step, self._bm_cfg, self.det_cfg))
+        self._debug_fn = None
         self._geom_key = key
         log.info(
             "Compiled pipeline for %s raw=%s flat=%s",
@@ -268,6 +270,50 @@ class Processor:
             for off in self.socket.get_received_offsets():
                 frame.t_offsets.append(off)
         return wrapper, blobs, det
+
+    def debug_views(self, raw: np.ndarray, fmt: str) -> dict:
+        """Render the four debug views (raw demosaic, flat dRGB, gradient,
+        circularity) as uint8 RGB images for streaming/snapshots
+        (reference src/main.cpp:377-403)."""
+        import jax.numpy as jnp
+
+        from ..ops import blob as B
+        from ..ops import frame as F
+
+        cfg = self._bm_cfg
+        if cfg is None:
+            raise RuntimeError("debug_views requires a compiled pipeline")
+
+        if self._debug_fn is None:
+
+            def render(raw_in, packed, maxh):
+                planes = F.raw2quad(raw_in, cfg.fmt)
+                rgb = F.quad2rgba(planes, cfg.fmt)
+                flat = F.resample_flat(
+                    planes, packed, maxh, cfg.field_scale, cfg.field_offset,
+                    cfg.flat_shape, cfg.fmt,
+                )
+                grad = B.gradient_dot(flat, cfg.grad_offset)
+                sat = B.summed_area_table(grad)
+                circ = B.circularity(sat, cfg.sat_radius)
+                clip = lambda x: jnp.clip(x, 0, 255).astype(jnp.uint8)
+                grad_vis = clip(grad * 0.25 + 128.0)
+                circ_vis = clip(circ + 127.0)
+                return {
+                    "raw_rgb": clip(rgb),
+                    "flat_rgb": clip(flat),
+                    "grad_rgb": jnp.stack([grad_vis] * 3, axis=-1),
+                    "circ_rgb": jnp.stack([circ_vis] * 3, axis=-1),
+                }
+
+            self._debug_fn = jax.jit(render)
+
+        out = self._debug_fn(
+            jnp.asarray(raw),
+            jnp.asarray(self.perspective.model.packed()),
+            jnp.float32(self.max_bot_height),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
 
     def process_frame(self, frame, tracked_by_cam=None, now=None):
         """Full synchronous frame: device + host. Returns the wrapper packet."""

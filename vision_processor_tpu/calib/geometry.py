@@ -235,12 +235,24 @@ def _fit_pose_to_corners(model: CameraModel, image_corners, model_corners,
         return (np.asarray(image_corners) - proj).reshape(-1)
 
     x0 = _pose_vector(model, calib_height)
+    # bounded trust-region LM: keeps the fit out of the degenerate mirror
+    # basin (focal < 0 / camera below the carpet) that a pure unbounded LM
+    # can fall into from a coarse initial guess
+    lower = [10.0, -2 * math.pi, -2 * math.pi, -2 * math.pi, -3e4, -3e4]
+    upper = [1e5, 2 * math.pi, 2 * math.pi, 2 * math.pi, 3e4, 3e4]
+    scale = [1000.0, 1.0, 1.0, 1.0, 1000.0, 1000.0]
+    if calib_height:
+        lower.append(100.0)
+        upper.append(3e4)
+        scale.append(1000.0)
+    x0 = np.clip(x0, lower, upper)
     try:
-        res = least_squares(residuals, x0, method="lm", max_nfev=400)
+        res = least_squares(
+            residuals, x0, method="trf", bounds=(lower, upper),
+            x_scale=scale, max_nfev=400,
+        )
     except Exception as exc:
-        log.warning("pose LM failed: %s", exc)
-        return False
-    if calib_height and res.x[6] < 0:
+        log.warning("pose fit failed: %s", exc)
         return False
     _apply_pose(model, res.x, calib_height)
     return True
@@ -368,13 +380,8 @@ def direct_calibration_refinement(field, cam_id: int, cam_amount: int,
             + dist[y0 + 1, x0] * (1 - fx) * fy
             + dist[y0 + 1, x0 + 1] * fx * fy
         )
-        # out-of-image projections are penalized by their distance to the
-        # image plus the worst in-image distance
-        outside = (
-            (px[:, 0] < 0) | (px[:, 0] >= w) | (px[:, 1] < 0) | (px[:, 1] >= h)
-        )
-        if outside.any():
-            d = d + outside * (np.abs(px[:, 0] - w / 2) + np.abs(px[:, 1] - h / 2))
+        # smooth out-of-image penalty: distance to the clamped position
+        d = d + np.hypot(px[:, 0] - x, px[:, 1] - y)
         return d
 
     pts3 = np.concatenate([pts, np.zeros((len(pts), 1))], axis=1)
@@ -387,21 +394,40 @@ def direct_calibration_refinement(field, cam_id: int, cam_amount: int,
         m.pos[1] = x[5]
         if calib_height:
             m.pos[2] = x[6]
-        calibrate_distortion(merged_pixels, m)
         proj = m.field2image(pts3)
         return sample_dist(proj)
 
     x0 = _pose_vector(model, calib_height)
+    lower = [10.0, -2 * math.pi, -2 * math.pi, -2 * math.pi, -3e4, -3e4]
+    upper = [1e5, 2 * math.pi, 2 * math.pi, 2 * math.pi, 3e4, 3e4]
+    scale = [1000.0, 1.0, 1.0, 1.0, 1000.0, 1000.0]
+    if calib_height:
+        lower.append(100.0)
+        upper.append(3e4)
+        scale.append(1000.0)
+    x0c = np.clip(x0, lower, upper)
     try:
-        res = least_squares(residuals, x0, method="lm", max_nfev=200)
+        res = least_squares(
+            residuals, x0c, method="trf", bounds=(lower, upper),
+            x_scale=scale, max_nfev=200,
+        )
     except Exception as exc:
-        log.warning("direct refinement LM failed: %s", exc)
+        log.warning("direct refinement failed: %s", exc)
         return
-    if calib_height and res.x[6] < 0:
-        log.warning("refinement put camera below field, discarding")
-        return
-    _apply_pose(model, res.x, calib_height)
-    calibrate_distortion(merged_pixels, model)
+    refined = _copy_model(model)
+    _apply_pose(refined, res.x, calib_height)
+    calibrate_distortion(merged_pixels, refined)
+    # keep the refinement only when it actually lowers the model error —
+    # the corner fit stays the fallback
+    before = model_error(field, model, line_pixels)
+    after = model_error(field, refined, line_pixels)
+    if after <= before:
+        _assign_model(model, refined)
+    else:
+        log.info(
+            "refinement rejected (model error %d -> %d), keeping corner fit",
+            before, after,
+        )
 
 
 # ---------------------------------------------------------------------------

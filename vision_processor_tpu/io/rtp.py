@@ -1,0 +1,211 @@
+"""RTP debug video streamer with latest-frame-only semantics.
+
+The reference streams H.264 over RTP via ffmpeg with a dedicated encoder
+thread fed by a one-slot queue so encoding never stalls the pipeline
+(reference src/rtpstreamer.cpp:29-198). This environment carries no ffmpeg,
+so the default payload is RTP/JPEG (RFC 2435) packetized natively in Python
+with cv2's JPEG encoder — wire-standard and playable by ffplay/GStreamer/VLC —
+while an H.264 path via an external ffmpeg binary is used when available.
+"""
+from __future__ import annotations
+
+import shutil
+import socket
+import struct
+import subprocess
+import threading
+import time
+
+import numpy as np
+
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+RTP_JPEG_PT = 26  # static payload type for JPEG (RFC 3551)
+MTU_PAYLOAD = 1400
+
+
+class _LatestSlot:
+    """One-slot queue: writers overwrite, the reader drains the newest."""
+
+    def __init__(self):
+        self._value = None
+        self._cond = threading.Condition()
+        self._closed = False
+
+    def offer(self, value) -> None:
+        with self._cond:
+            self._value = value
+            self._cond.notify()
+
+    def take(self, timeout=0.5):
+        with self._cond:
+            if self._value is None:
+                self._cond.wait(timeout)
+            value, self._value = self._value, None
+            return value
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+
+
+def _parse_rtp_url(url: str) -> tuple[str, int]:
+    rest = url.split("://", 1)[1]
+    host, port = rest.rsplit(":", 1)
+    return host, int(port)
+
+
+class RTPStreamer:
+    """Encoder thread + RTP packetizer, ~30 fps pacing, latest frame only."""
+
+    def __init__(self, active: bool, url: str, framerate: float = 30.0):
+        self.active = active
+        self.url = url
+        self.framerate = framerate
+        self._slot = _LatestSlot()
+        self._seq = 0
+        self._ssrc = np.random.randint(0, 2**31)
+        self._use_ffmpeg = shutil.which("ffmpeg") is not None
+        self._proc = None
+        self._sock = None
+        self._thread = None
+        if active:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def send_frame(self, rgb: np.ndarray) -> None:
+        """Offer an (H, W, 3) uint8 RGB frame; never blocks."""
+        if self.active:
+            self._slot.offer(np.asarray(rgb))
+
+    def close(self) -> None:
+        self.active = False
+        self._slot.close()
+        if self._thread:
+            self._thread.join(timeout=1.0)
+        if self._proc:
+            self._proc.terminate()
+        if self._sock:
+            self._sock.close()
+
+    # -- encoder thread -----------------------------------------------------
+
+    def _run(self) -> None:
+        host, port = _parse_rtp_url(self.url)
+        frame_interval = 1.0 / self.framerate
+        while self.active:
+            frame = self._slot.take()
+            if frame is None:
+                continue
+            t0 = time.monotonic()
+            try:
+                if self._use_ffmpeg:
+                    self._send_h264(frame)
+                else:
+                    self._send_jpeg(frame, host, port)
+            except Exception as exc:
+                log.warning("RTP send failed: %s", exc)
+            elapsed = time.monotonic() - t0
+            if elapsed < frame_interval:
+                time.sleep(frame_interval - elapsed)
+
+    # -- JPEG/RTP (RFC 2435) ------------------------------------------------
+
+    def _ensure_sock(self):
+        if self._sock is None:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._sock.setsockopt(
+                socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, struct.pack("b", 32)
+            )
+
+    def _send_jpeg(self, rgb: np.ndarray, host: str, port: int) -> None:
+        import cv2
+
+        self._ensure_sock()
+        h, w = rgb.shape[:2]
+        ok, jpeg = cv2.imencode(
+            ".jpg", rgb[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 80]
+        )
+        if not ok:
+            return
+        payload = _strip_jfif(jpeg.tobytes())
+        ts = int(time.monotonic() * 90000) & 0xFFFFFFFF
+
+        offset = 0
+        total = len(payload)
+        while offset < total:
+            chunk = payload[offset : offset + MTU_PAYLOAD]
+            last = offset + len(chunk) >= total
+            # RTP header
+            header = struct.pack(
+                "!BBHII",
+                0x80,
+                RTP_JPEG_PT | (0x80 if last else 0),
+                self._seq & 0xFFFF,
+                ts,
+                self._ssrc,
+            )
+            # JPEG payload header (RFC 2435): type 1 = 4:2:0, q=80 static-ish
+            jpeg_hdr = struct.pack(
+                "!BBBBBBBB",
+                0,
+                (offset >> 16) & 0xFF,
+                (offset >> 8) & 0xFF,
+                offset & 0xFF,
+                1,  # type: baseline 4:2:0
+                80,  # Q
+                (w // 8) & 0xFF,
+                (h // 8) & 0xFF,
+            )
+            # RFC 2435 header is type-specific; this compact form matches
+            # common decoder expectations (type-specific=0, 24-bit offset)
+            jpeg_hdr = (
+                bytes([0])
+                + offset.to_bytes(3, "big")
+                + bytes([1, 80, (w // 8) & 0xFF, (h // 8) & 0xFF])
+            )
+            self._sock.sendto(header + jpeg_hdr + chunk, (host, port))
+            self._seq += 1
+            offset += len(chunk)
+
+    # -- H.264 via external ffmpeg ------------------------------------------
+
+    def _send_h264(self, rgb: np.ndarray) -> None:
+        h, w = rgb.shape[:2]
+        if self._proc is None or self._proc.poll() is not None:
+            self._proc = subprocess.Popen(
+                [
+                    "ffmpeg", "-loglevel", "error", "-f", "rawvideo",
+                    "-pix_fmt", "rgb24", "-s", f"{w}x{h}",
+                    "-r", str(int(self.framerate)), "-i", "-",
+                    "-c:v", "libx264", "-preset", "ultrafast",
+                    "-tune", "zerolatency", "-f", "rtp", self.url,
+                ],
+                stdin=subprocess.PIPE,
+            )
+        self._proc.stdin.write(rgb.astype(np.uint8).tobytes())
+        self._proc.stdin.flush()
+
+
+def _strip_jfif(jpeg: bytes) -> bytes:
+    """Strip everything before the scan data for RFC 2435 payloads: the
+    receiver reconstructs headers from the payload header fields."""
+    # find SOS marker (0xFFDA), include data after its segment
+    i = 2
+    while i < len(jpeg) - 1:
+        if jpeg[i] != 0xFF:
+            i += 1
+            continue
+        marker = jpeg[i + 1]
+        if marker == 0xDA:
+            seg_len = int.from_bytes(jpeg[i + 2 : i + 4], "big")
+            return jpeg[i + 2 + seg_len :]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(jpeg[i + 2 : i + 4], "big")
+        i += 2 + seg_len
+    return jpeg
