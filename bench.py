@@ -18,6 +18,7 @@ camera frames/sec/chip vs the 4x200 fps baseline target.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -148,7 +149,9 @@ def main():
     from vision_processor_tpu.parallel import multicam as M
 
     n_cams = 4
+    print("bench: building rig...", file=sys.stderr, flush=True)
     cfg, raws, packed, scales, offsets, colors, params = build_rig(n_cams)
+    print("bench: rig ready", file=sys.stderr, flush=True)
     step = M.batched_step(cfg)
 
     raws_d = jax.device_put(raws)
@@ -160,7 +163,7 @@ def main():
 
     # distinct frame-sets (Bayer-phase-preserving shifts of the rendered
     # scenes) so no call can reuse a previous call's work
-    n_bank = 8
+    n_bank = 4
     bank_h = [np.roll(raws, (2 * i, 4 * i), axis=(1, 2)) for i in range(n_bank)]
     bank = [jax.device_put(b) for b in bank_h]
 
@@ -172,12 +175,13 @@ def main():
             params,
         )
     jax.block_until_ready(summary)
+    print("bench: warmup done", file=sys.stderr, flush=True)
     bots_found = int(np.asarray(det["bot_valid"]).sum())
     blob_counts = np.asarray(blobs["count"]).tolist()
 
     # 1) on-chip rate: per-call-blocked latency over never-seen frame-sets
     lat = []
-    for i in range(3 * n_bank):
+    for i in range(4 * n_bank):
         t0 = time.perf_counter()
         out = step(
             bank[i % n_bank], packed_d, scales_d, offsets_d, colors_d, summary,
@@ -189,10 +193,11 @@ def main():
     lat = np.array(lat)
     p50 = float(np.percentile(lat, 50))
     fps_chip = n_cams / p50
+    print("bench: latency phase done", file=sys.stderr, flush=True)
 
     # 2) async-dispatch throughput (pipelined dispatch, sync at end)
     t0 = time.perf_counter()
-    n_async = 4 * n_bank
+    n_async = 8 * n_bank
     for i in range(n_async):
         blobs, det, summary = step(
             bank[i % n_bank], packed_d, scales_d, offsets_d, colors_d, summary,
