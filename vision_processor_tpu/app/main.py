@@ -202,6 +202,9 @@ class App:
 
 
 def main(argv=None):
+    from ..utils import honor_platform_env
+
+    honor_platform_env()
     argv = argv if argv is not None else sys.argv[1:]
     app = App(argv[0] if argv else "config.yml")
     signal.signal(signal.SIGTERM, app.stop)

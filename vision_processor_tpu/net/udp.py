@@ -182,8 +182,8 @@ class VisionSocket(UDPSocket):
         (reference src/udpsocket.cpp:119-130)."""
         with self._geometry_lock:
             if (
-                self._received_geometry.SerializeToString(deterministic=True)
-                != self._geometry.SerializeToString(deterministic=True)
+                self._received_geometry.SerializePartialToString(deterministic=True)
+                != self._geometry.SerializePartialToString(deterministic=True)
             ):
                 self._geometry.CopyFrom(self._received_geometry)
                 if self._geometry.field.HasField("ball_radius"):
