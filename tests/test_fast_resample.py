@@ -1,0 +1,85 @@
+"""Fast-path resampling parity: the packed single-cell sampler must match
+the exact per-plane bilinear path closely, and the full pipeline must find
+the same blobs either way."""
+import numpy as np
+import pytest
+
+from vision_processor_tpu.io.synthetic import Scene, SceneBall, SceneBot, render_raw
+from vision_processor_tpu.models.perspective import Perspective
+from vision_processor_tpu.ops import frame as F
+from vision_processor_tpu.ops.pipeline import BlobMachine, BlobMachineConfig
+
+MAXH = 150.0
+
+
+@pytest.fixture(scope="module")
+def setup(divb_field, overhead_model):
+    persp = Perspective(cam_id=0)
+    geometry = divb_field.geometry
+    geometry.ClearField("calib")
+    geometry.calib.append(overhead_model.to_proto(0))
+    assert persp.update_geometry(geometry, 1, 960, 720, MAXH, 1.0)
+    scene = Scene(
+        bots=[SceneBot(3, "yellow", -2800.0, 600.0, 0.7)],
+        balls=[SceneBall(-3400.0, -1500.0)],
+        noise_sigma=1.0,
+    )
+    raw = render_raw(persp.model, geometry.field, scene, "RGGB")
+    return persp, raw
+
+
+def test_flat_images_match(setup):
+    persp, raw = setup
+    import jax.numpy as jnp
+
+    hf = int(persp.reprojected_field_size[1])
+    wf = int(persp.reprojected_field_size[0])
+    packed_cam = jnp.asarray(persp.model.packed())
+    offset = (
+        float(persp.visible_field_extent[0]),
+        float(persp.visible_field_extent[2]),
+    )
+
+    planes = F.raw2quad(jnp.asarray(raw), "RGGB")
+    exact = np.asarray(
+        F.resample_flat(
+            planes, packed_cam, jnp.float32(MAXH), persp.field_scale,
+            offset, (hf, wf), "RGGB",
+        )
+    )
+    packed = F.raw2planes_packed(jnp.asarray(raw), "RGGB")
+    fast = np.asarray(
+        F.resample_flat_packed(
+            packed, packed_cam, jnp.float32(MAXH), persp.field_scale,
+            offset, (hf, wf), "RGGB",
+        )
+    )
+    diff = np.abs(exact - fast)
+    # boundary-cell approximation: tiny on average, bounded in the tail
+    assert diff.mean() < 1.0, diff.mean()
+    assert np.percentile(diff, 99) < 8.0
+
+
+def test_pipeline_blobs_match(setup):
+    persp, raw = setup
+    kwargs = dict(max_blobs=32)
+    cfg_exact = BlobMachineConfig.from_perspective(persp, "RGGB", raw.shape, **kwargs)
+    from dataclasses import replace
+
+    out_e = BlobMachine(replace(cfg_exact, exact_resample=True))(
+        raw, persp.model.packed(), MAXH, 15.0
+    )
+    out_f = BlobMachine(cfg_exact)(raw, persp.model.packed(), MAXH, 15.0)
+
+    # compare the meaningful blobs (real pattern blobs score far above the
+    # sampling noise floor); low-score noise duplicates may differ
+    ve = np.asarray(out_e["valid"]) & (np.asarray(out_e["score"]) > 10)
+    vf = np.asarray(out_f["valid"]) & (np.asarray(out_f["score"]) > 10)
+    pe = np.asarray(out_e["field_pos"])[ve]
+    pf = np.asarray(out_f["field_pos"])[vf]
+    assert abs(int(ve.sum()) - int(vf.sum())) <= 1
+    # 8 mm tolerance: the exact path can split one physical blob into two
+    # adjacent local maxima that the fast path merges
+    for p in pe:
+        d = np.linalg.norm(pf - p, axis=-1).min()
+        assert d < 8.0, (p, d)

@@ -434,11 +434,17 @@ def clipping_nms(pos, orient, score, valid, clipping_tolerance):
     n = pos.shape[0]
     clip = bot_bot_clipping(pos, orient, clipping_tolerance)
     order = jnp.argsort(-jnp.where(valid, score, -jnp.inf))
+    # rank in descending-score order; ties are broken by slot position so
+    # exact-duplicate hypotheses suppress each other (the reference removes
+    # clipped hypotheses with score <= the survivor's)
+    rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
 
     def body(i, kept):
         idx = order[i]
         ok = kept[idx] & valid[idx]
-        suppress = clip[idx] & (score < score[idx])
+        suppress = clip[idx] & (rank > rank[idx])
         return jnp.where(ok, kept & ~suppress, kept)
 
     kept = jax.lax.fori_loop(0, n, body, valid)

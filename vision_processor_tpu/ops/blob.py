@@ -126,6 +126,40 @@ def disc_stats(flat: jnp.ndarray, radius: int) -> tuple[jnp.ndarray, jnp.ndarray
     return s1, s2, n
 
 
+def disc_stats_sat(
+    flat: jnp.ndarray, radius: int
+) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """disc_stats via row prefix sums: the disc is a stack of 2r+1 row
+    spans, each evaluated as one shifted difference of a row-cumsum —
+    (2r+1) adds instead of a (2r+1)^2-tap convolution. Exact same result
+    as disc_stats (clamp-to-edge padding)."""
+    r = radius
+    offs = disc_offsets(r)
+    n = len(offs)
+    half_w = {
+        int(dy): int(np.max(offs[offs[:, 0] == dy, 1])) for dy in range(-r, r + 1)
+    }
+
+    padded = jnp.pad(flat, ((r, r), (r, r + 1), (0, 0)), mode="edge")
+    both = jnp.concatenate([padded, padded * padded], axis=-1)  # (.., 6)
+    # inclusive row cumsum with a leading zero column for clean differences
+    csum = jnp.cumsum(both, axis=1)
+    zeros = jnp.zeros_like(csum[:, :1])
+    csum = jnp.concatenate([zeros, csum], axis=1)  # (H+2r, W+3r+2?, 6)
+
+    h, w = flat.shape[:2]
+    acc = None
+    for dy in range(-r, r + 1):
+        hw = half_w[dy]
+        rows = csum[r + dy : r + dy + h]
+        # row span [x - hw, x + hw] for output x -> padded cols
+        hi = rows[:, r + hw + 1 : r + hw + 1 + w]
+        lo = rows[:, r - hw : r - hw + w]
+        span = hi - lo
+        acc = span if acc is None else acc + span
+    return acc[..., :3], acc[..., 3:], n
+
+
 def local_max_mask(circ: jnp.ndarray) -> jnp.ndarray:
     """True where no 4-neighbor (clamp-to-edge) strictly exceeds the value."""
     return (
@@ -167,7 +201,7 @@ def extract_blobs(
       count  ()     i32 number of pixels passing all filters (may exceed k)
     """
     h, w = circ.shape
-    s1, s2, n = disc_stats(flat, radius)
+    s1, s2, n = disc_stats_sat(flat, radius)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
@@ -218,7 +252,7 @@ def blob_score_map(
 ) -> jnp.ndarray:
     """Image-space blob score map (-inf where filtered), the analogue of the
     benchmark-only blobScore kernel (reference kernel/blobScore.cl:23-66)."""
-    s1, s2, n = disc_stats(flat, radius)
+    s1, s2, n = disc_stats_sat(flat, radius)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)

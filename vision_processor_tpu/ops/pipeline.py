@@ -36,6 +36,9 @@ class BlobMachineConfig:
     disc_radius: int
     max_blobs: int = 2000
     debug_images: bool = False
+    # exact per-plane quarter-pixel bilinear (16 gathers) vs the packed
+    # single-cell sampler (4 gathers, <=0.25 px boundary approximation)
+    exact_resample: bool = False
 
     @classmethod
     def from_perspective(
@@ -90,16 +93,28 @@ def blob_machine(
         field_scale = cfg.field_scale
     if field_offset is None:
         field_offset = cfg.field_offset
-    planes = F.raw2quad(raw, cfg.fmt)
-    flat = F.resample_flat(
-        planes,
-        packed_cam,
-        max_bot_height,
-        field_scale,
-        field_offset,
-        cfg.flat_shape,
-        cfg.fmt,
-    )
+    if cfg.exact_resample:
+        planes = F.raw2quad(raw, cfg.fmt)
+        flat = F.resample_flat(
+            planes,
+            packed_cam,
+            max_bot_height,
+            field_scale,
+            field_offset,
+            cfg.flat_shape,
+            cfg.fmt,
+        )
+    else:
+        packed_planes = F.raw2planes_packed(raw, cfg.fmt)
+        flat = F.resample_flat_packed(
+            packed_planes,
+            packed_cam,
+            max_bot_height,
+            field_scale,
+            field_offset,
+            cfg.flat_shape,
+            cfg.fmt,
+        )
     grad = B.gradient_dot(flat, cfg.grad_offset)
     sat = B.summed_area_table(grad)
     circ = B.circularity(sat, cfg.sat_radius)
