@@ -193,8 +193,11 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     # reference: anchors need >= 4 in-radius blobs (incl. self)
     combo_ok &= (ring_count[:, None] >= 4) & anchor_valid[:, None]
 
-    side_idx = ring_idx[:, combos]  # (A, C, 4) global blob ids
-    side_pos = blob_pos[side_idx]  # (A, C, 4, 2)
+    # gather each anchor's ring positions once (A*K indices), then expand
+    # combos by static-table indexing — slices, not another huge gather
+    ring_pos = blob_pos[ring_idx]  # (A, K, 2)
+    side_idx = ring_idx[:, combos]  # (A, C, 4) global blob ids (static table)
+    side_pos = ring_pos[:, combos]  # (A, C, 4, 2) (static table)
     center = jnp.broadcast_to(
         anchor_pos[:, None, None, :], side_pos[..., :1, :].shape
     )

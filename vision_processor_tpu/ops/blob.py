@@ -45,9 +45,17 @@ def gradient_dot(flat: jnp.ndarray, offset: int) -> jnp.ndarray:
 
     offset = ceil(max_blob_radius / field_scale) / 3 (integer division), the
     ring response scale. flat: (H, W, 3) f32 -> (H, W) f32.
+    Pads once and takes static slices so XLA materializes one buffer.
     """
-    gx = _shift2d(flat, offset, 0) - _shift2d(flat, -offset, 0)
-    gy = _shift2d(flat, 0, offset) - _shift2d(flat, 0, -offset)
+    o = offset
+    h, w = flat.shape[:2]
+    p = jnp.pad(flat, ((o, o), (o, o), (0, 0)), mode="edge")
+
+    def sl(dy, dx):
+        return p[o + dy : o + dy + h, o + dx : o + dx + w]
+
+    gx = sl(0, o) - sl(0, -o)
+    gy = sl(o, 0) - sl(-o, 0)
     return jnp.sum(gx * gy, axis=-1)
 
 
@@ -66,9 +74,11 @@ def circularity(sat: jnp.ndarray, radius: int) -> jnp.ndarray:
     radius^2 (reference kernel/satBlobCenter.cl:34-45).
     """
     r = radius
+    h, w = sat.shape
+    p = jnp.pad(sat, ((r, r), (r, r)), mode="edge")
 
     def read(dx, dy):
-        return _shift2d(sat, dx, dy)
+        return p[r + dy : r + dy + h, r + dx : r + dx + w]
 
     pp = read(r, r) - read(r, 1) - read(1, r) + read(1, 1)
     pn = read(r, -r) - read(r, -1) - read(1, -r) + read(1, -1)  # inverted
@@ -162,11 +172,17 @@ def disc_stats_sat(
 
 def local_max_mask(circ: jnp.ndarray) -> jnp.ndarray:
     """True where no 4-neighbor (clamp-to-edge) strictly exceeds the value."""
+    h, w = circ.shape
+    p = jnp.pad(circ, ((1, 1), (1, 1)), mode="edge")
+
+    def sl(dy, dx):
+        return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
     return (
-        (_shift2d(circ, -1, 0) <= circ)
-        & (_shift2d(circ, 1, 0) <= circ)
-        & (_shift2d(circ, 0, -1) <= circ)
-        & (_shift2d(circ, 0, 1) <= circ)
+        (sl(0, -1) <= circ)
+        & (sl(0, 1) <= circ)
+        & (sl(-1, 0) <= circ)
+        & (sl(1, 0) <= circ)
     )
 
 

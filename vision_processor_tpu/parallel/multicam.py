@@ -122,10 +122,19 @@ def batched_step(cfg: MultiCamConfig):
         tracked = tracked_from_summaries(
             cfg.det, prev_summary, params["tracked_time_delta"]
         )
-        blobs, det, summary = jax.vmap(
-            partial(_single_cam_step, cfg),
-            in_axes=(0, 0, 0, 0, 0, None, None),
-        )(raws, packed_cams, field_scales, field_offsets, colors7, tracked, params)
+        # cameras are unrolled rather than vmapped: XLA lowers BATCHED
+        # gathers (the resampling + hypothesis lookups) ~2.5x slower than
+        # unbatched ones, and the per-frame gather dominates the step
+        outs = [
+            _single_cam_step(
+                cfg, raws[c], packed_cams[c], field_scales[c],
+                field_offsets[c], colors7[c], tracked, params,
+            )
+            for c in range(cfg.n_cams)
+        ]
+        blobs, det, summary = (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *group) for group in zip(*outs)
+        )
         return blobs, det, summary
 
     return jax.jit(step)
