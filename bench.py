@@ -154,72 +154,57 @@ def main():
     print("bench: rig ready", file=sys.stderr, flush=True)
     step = M.batched_step(cfg)
 
-    raws_d = jax.device_put(raws)
     packed_d = jax.device_put(packed)
     scales_d = jax.device_put(scales)
     offsets_d = jax.device_put(offsets)
     colors_d = jax.device_put(colors)
-    prev = M.empty_summary(cfg)
 
-    # distinct frame-sets (Bayer-phase-preserving shifts of the rendered
-    # scenes) so no call can reuse a previous call's work
+    # bank of distinct frame-sets (Bayer-phase-preserving shifts) so no
+    # step's work can be reused or hoisted
     n_bank = 4
-    bank_h = [np.roll(raws, (2 * i, 4 * i), axis=(1, 2)) for i in range(n_bank)]
-    bank = [jax.device_put(b) for b in bank_h]
+    bank = jax.device_put(
+        np.stack([np.roll(raws, (2 * i, 4 * i), axis=(1, 2)) for i in range(n_bank)])
+    )
 
-    # warmup (relay spin-up + compile) + correctness sanity
-    summary = prev
-    for i in range(8):
-        blobs, det, summary = step(
-            bank[i % n_bank], packed_d, scales_d, offsets_d, colors_d, summary,
-            params,
-        )
-    jax.block_until_ready(summary)
-    print("bench: warmup done", file=sys.stderr, flush=True)
+    # One small readback first: the dev-tunnel TPU relay defers execution
+    # until the first device->host fetch; everything after this runs (and
+    # is timed) eagerly.
+    summary = M.empty_summary(cfg)
+    blobs, det, summary = step(
+        bank[0], packed_d, scales_d, offsets_d, colors_d, summary, params
+    )
     bots_found = int(np.asarray(det["bot_valid"]).sum())
     blob_counts = np.asarray(blobs["count"]).tolist()
+    print("bench: eager mode forced", file=sys.stderr, flush=True)
 
-    # 1) on-chip rate: per-call-blocked latency over never-seen frame-sets
+    # sustained on-chip rate: device-resident scan cycling the frame bank
+    # with detection feedback; timed over two lengths so the per-call
+    # overhead cancels out
+    times = {}
+    for n_frames in (10, 50):
+        roll = M.make_rollout(cfg, step, n_frames)
+        out = roll(bank, packed_d, scales_d, offsets_d, colors_d, params)
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        out = roll(bank, packed_d, scales_d, offsets_d, colors_d, params)
+        jax.block_until_ready(out)
+        times[n_frames] = time.perf_counter() - t0
+        print(f"bench: scan{n_frames} done", file=sys.stderr, flush=True)
+    per_frameset = (times[50] - times[10]) / 40.0
+    fps_chip = n_cams / per_frameset
+
+    # per-call step latency (includes the relay's per-call overhead)
     lat = []
-    for i in range(4 * n_bank):
+    for i in range(10):
         t0 = time.perf_counter()
         out = step(
-            bank[i % n_bank], packed_d, scales_d, offsets_d, colors_d, summary,
-            params,
+            bank[i % n_bank], packed_d, scales_d, offsets_d, colors_d,
+            summary, params,
         )
         jax.block_until_ready(out)
         summary = out[2]
         lat.append(time.perf_counter() - t0)
-    lat = np.array(lat)
-    p50 = float(np.percentile(lat, 50))
-    fps_chip = n_cams / p50
-    print("bench: latency phase done", file=sys.stderr, flush=True)
-
-    # 2) async-dispatch throughput (pipelined dispatch, sync at end)
-    t0 = time.perf_counter()
-    n_async = 8 * n_bank
-    for i in range(n_async):
-        blobs, det, summary = step(
-            bank[i % n_bank], packed_d, scales_d, offsets_d, colors_d, summary,
-            params,
-        )
-    jax.block_until_ready((blobs, det, summary))
-    fps_async = n_cams * n_async / (time.perf_counter() - t0)
-
-    # 3) end-to-end: host frame upload + step + detection readback
-    lat_e2e = []
-    for i in range(8):
-        t0 = time.perf_counter()
-        r = jax.device_put(bank_h[i % n_bank])
-        blobs, det, summary = step(
-            r, packed_d, scales_d, offsets_d, colors_d, summary, params
-        )
-        np.asarray(det["bot_pos"])
-        np.asarray(det["bot_valid"])
-        np.asarray(blobs["field_pos"])
-        lat_e2e.append(time.perf_counter() - t0)
-    lat_e2e = np.array(lat_e2e[2:])
-    p50_e2e = float(np.percentile(lat_e2e, 50))
+    p50_call = float(np.percentile(lat, 50))
 
     result = {
         "metric": "1080p Bayer camera frames/sec/chip (4 streams, full detection)",
@@ -227,22 +212,33 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps_chip / 800.0, 3),
         "detail": {
-            "p50_latency_ms_4cam_step": round(p50 * 1e3, 3),
-            "p50_latency_ms_per_frame": round(p50 * 1e3 / n_cams, 3),
-            "fps_async_dispatch": round(fps_async, 1),
-            "p50_e2e_ms_with_host_transfer": round(p50_e2e * 1e3, 3),
-            "fps_e2e_with_host_transfer": round(n_cams / p50_e2e, 1),
+            "ms_per_4cam_frameset_sustained": round(per_frameset * 1e3, 3),
+            "ms_per_camera_frame": round(per_frameset * 1e3 / n_cams, 3),
+            "p50_ms_per_call_with_dispatch": round(p50_call * 1e3, 3),
             "bots_found_4cams": bots_found,
             "blob_counts": blob_counts,
             "baseline_target_fps": 800,
-            "note": "e2e transfer rate limited by the dev-tunnel TPU relay, "
-                    "not chip DMA",
+            "note": "measured through the dev-tunnel TPU relay; sustained "
+                    "rate from scan-length differencing cancels per-call "
+                    "relay overhead",
         },
     }
     print(json.dumps(result))
 
 
-if __name__ == "__main__":
-    import jax.numpy as jnp  # noqa: F401  (used in build_rig)
+def main_with_retries(attempts: int = 3):
+    for attempt in range(attempts):
+        try:
+            main()
+            return
+        except Exception as exc:  # transient relay/compile hiccups
+            print(
+                f"bench: attempt {attempt + 1} failed: {exc}",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(10)
+    raise SystemExit(1)
 
-    main()
+
+if __name__ == "__main__":
+    main_with_retries()
