@@ -52,6 +52,14 @@ class App:
         self._last_snapshot = 0.0
         self._debug_view = 0
 
+        from ..utils.timing import FrameStats, StageTimer
+
+        self.frame_stats = FrameStats()
+        self.frame_stats_timer = StageTimer()
+        import os
+
+        self.benchmark = os.environ.get("VPTPU_BENCHMARK", "") == "1"
+
         if cfg.wait_for_geometry:
             log.info("Waiting for geometry...")
             while self.socket.geometry_version == 0:
@@ -91,16 +99,28 @@ class App:
             self.socket.get_tracked_objects(), start,
             self.processor.det_cfg.max_tracked,
         )
-        device_out = self.processor.device_step(frame.data, frame.fmt, tracked)
-        wrapper, blobs, det = self.processor.finish_frame(
-            device_out, start, frame.timestamp
-        )
+        with self.frame_stats_timer.stage("device_step") as _:
+            device_out = self.processor.device_step(frame.data, frame.fmt, tracked)
+        with self.frame_stats_timer.stage("host_finish"):
+            wrapper, blobs, det = self.processor.finish_frame(
+                device_out, start, frame.timestamp
+            )
         wrapper.detection.t_sent = self.camera.get_time()
         self.socket.send(wrapper)
         self.socket.update_time()
 
+        if self.config.debug_images and self.processor.frame_id == 1:
+            views = self.processor.debug_views(frame.data, frame.fmt)
+            import cv2
+
+            for name, key in (
+                ("flat", "flat_rgb"), ("gradDot", "grad_rgb"), ("blob", "circ_rgb"),
+            ):
+                cv2.imwrite(f".{name}.1.png", views[key][..., ::-1])
+
         processing = get_real_time() - real_start
-        if processing > self.camera.expected_frametime():
+        overrun = self.frame_stats.add(processing, self.camera.expected_frametime())
+        if overrun:
             log.info(
                 "frame time overrun: %.1f ms, %d blobs, %d balls, %d bots",
                 processing * 1e3,
@@ -109,6 +129,10 @@ class App:
                 len(wrapper.detection.robots_yellow)
                 + len(wrapper.detection.robots_blue),
             )
+        if self.benchmark and self.processor.frame_id % 100 == 0:
+            log.info("frame stats: %s", self.frame_stats.summary())
+            self.frame_stats_timer.print_runtimes()
+            self.frame_stats_timer.clear()
 
         self._stream_and_snapshot(frame, real_start)
 

@@ -180,9 +180,12 @@ def open_camera(cfg: CameraSection) -> CameraDriver:
         return _DRIVERS[name](cfg)
     if name == "OPENCV":
         return OpenCVDriver(cfg)
+    if name == "V4L2":
+        from . import native  # registers the driver
+
+        return _DRIVERS["V4L2"](cfg)
     if name in ("SPINNAKER", "MVIMPACT"):
-        raise RuntimeError(
-            f"{name} requires the vendor SDK driver; register it via "
-            "vision_processor_tpu.io.camera.register_driver"
-        )
+        from . import vendor  # registers both; raises without the SDK
+
+        return _DRIVERS[name](cfg)
     raise ValueError(f"unknown camera driver {cfg.driver}")
