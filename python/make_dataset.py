@@ -124,6 +124,8 @@ def main():
     parser.add_argument("--frames", default=60, type=int)
     parser.add_argument("--fps", default=30.0, type=float)
     parser.add_argument("--scenes", default=1, type=int)
+    parser.add_argument("--image_scenes", default=0, type=int,
+                        help="additional single-frame PNG scenes")
     parser.add_argument("--seed", default=0, type=int)
     args = parser.parse_args()
 
@@ -169,6 +171,34 @@ def main():
         cv2.imwrite(str(folder / "field.png"), empty[..., ::-1])
 
         (folder / "ssl-vision-config").mkdir(exist_ok=True)
+        # per-dataset processor config: the calibration inputs the reference
+        # requires operators to measure by hand (extent corner pixels, mount
+        # height) come straight from the true model here
+        lo_nb, hi_nb = visible_field_extent_estimation(
+            cam_id, args.cams, field, False
+        )
+        corners = [
+            [lo_nb[0], lo_nb[1]], [lo_nb[0], hi_nb[1]],
+            [hi_nb[0], hi_nb[1]], [hi_nb[0], lo_nb[1]],
+        ]
+        corner_px = [
+            [float(v) for v in model.field2image(np.array([c[0], c[1], 0.0]))]
+            for c in corners
+        ]
+        (folder / "ssl-vision-config" / "config.yml").write_text(
+            yaml.dump(
+                {
+                    "cam_id": cam_id,
+                    "camera": {"driver": "OPENCV"},
+                    "geometry": {
+                        "camera_amount": args.cams,
+                        "camera_height": 4500.0,
+                        "line_corners": corner_px,
+                    },
+                },
+                sort_keys=False,
+            )
+        )
 
         for scene_idx in range(args.scenes):
             n_bots = int(rng.integers(2, 5))
@@ -213,6 +243,41 @@ def main():
                 with video_path.with_suffix(f".{suffix}.json").open("w") as fh:
                     json.dump(truth, fh)
             print(f"wrote {video_path} ({args.frames} frames, {n_bots} bots)")
+
+    # shared single-frame scenes: one world scene per still index, with the
+    # objects placed in the multi-camera overlap strip and rendered through
+    # every camera — the input the cross-camera overlap benchmark needs
+    for img_idx in range(args.image_scenes):
+        n_bots = int(rng.integers(2, 4))
+        bots = []
+        ids = rng.permutation(16)
+        for i in range(n_bots):
+            bots.append(
+                SceneBot(
+                    bot_id=int(ids[i]),
+                    team="yellow" if i % 2 == 0 else "blue",
+                    x=float(rng.uniform(-200, 200)),
+                    y=float(rng.uniform(-2000, 2000)),
+                    orientation=float(rng.uniform(-3, 3)),
+                )
+            )
+        ball = SceneBall(
+            x=float(rng.uniform(-200, 200)), y=float(rng.uniform(-2000, 2000))
+        )
+        scene = Scene(bots=bots, balls=[ball], noise_sigma=1.5, seed=img_idx)
+        for cam_id in range(args.cams):
+            model, _ = make_camera(cam_id, args.cams, field)
+            folder = args.out / args.field_name / f"cam{cam_id}"
+            rgb = render_rgb(model, field, scene)
+            img_path = folder / f"still{img_idx}.png"
+            cv2.imwrite(str(img_path), rgb[..., ::-1])
+            truth = [
+                ground_truth_frame(model, scene, 1, 0.0, cam_id, field.ball_radius)
+            ]
+            for suffix in ("vision", "manual"):
+                with img_path.with_suffix(f".{suffix}.json").open("w") as fh:
+                    json.dump(truth, fh)
+            print(f"wrote {img_path} ({n_bots} bots, shared scene)")
 
 
 if __name__ == "__main__":

@@ -46,14 +46,23 @@ def _normalize_undistort(points, focal, pp, k2):
     return n * (1.0 + k2 * r2)
 
 
-def calibrate_distortion(line_pixel_groups: list[np.ndarray], model: CameraModel) -> bool:
-    """Fit (k2, principal point) in place; returns False when the solution
-    leaves the image (reference src/calib/Distortion.cpp:105-125)."""
+def calibrate_distortion(
+    line_pixel_groups: list[np.ndarray],
+    model: CameraModel,
+    fit_principal_point: bool = False,
+) -> bool:
+    """Fit the radial distortion (optionally + principal point) in place.
+
+    The joint (k2, principal point) problem of the reference
+    (reference src/calib/Distortion.cpp:105-125) is near-degenerate on
+    nadir views — principal-point shifts trade off against camera position —
+    so the principal point stays fixed unless explicitly requested."""
     groups = [np.asarray(g, dtype=np.float64) for g in line_pixel_groups if len(g) >= 2]
     if not groups:
         return False
 
     focal = model.focal_length
+    w, h = float(model.size[0]), float(model.size[1])
 
     def residuals(x):
         k2, px, py = x
@@ -64,15 +73,40 @@ def calibrate_distortion(line_pixel_groups: list[np.ndarray], model: CameraModel
             out.append(line_tls_residuals(u))
         return np.concatenate(out)
 
-    x0 = np.array(
-        [model.distortion_k2, model.principal_point[0], model.principal_point[1]]
+    # staged bounded fit: k2 alone is well-conditioned; the joint
+    # (k2, principal point) problem is near-degenerate for center-crossing
+    # lines and an unbounded LM can walk the principal point out of the image
+    pp0 = model.principal_point.copy()
+    # soft_l1 downweights contaminated pixels (arc points caught in a line
+    # group); k2 bounded to the physical single-coefficient range
+    r1 = least_squares(
+        lambda k: residuals([k[0], pp0[0], pp0[1]]),
+        np.array([np.clip(model.distortion_k2, -0.1, 0.1)]),
+        method="trf", bounds=([-0.1], [0.1]), loss="soft_l1",
+        f_scale=0.01, max_nfev=100,
     )
-    res = least_squares(residuals, x0, method="lm", max_nfev=200)
-    k2, px, py = res.x
-
-    if not (0.0 <= px < model.size[0] and 0.0 <= py < model.size[1]):
-        log.info("Principal point outside of image, aborting distortion fit")
+    # identifiability guard: when the straightness cost barely depends on
+    # k2 (short/thin line support), keep the current value instead of
+    # letting the optimizer wander inside a flat valley
+    cost_now = 0.5 * float(
+        np.sum(residuals([model.distortion_k2, pp0[0], pp0[1]]) ** 2)
+    )
+    if cost_now <= 1e-12 or (cost_now - r1.cost) < 0.1 * cost_now:
         return False
+    if not fit_principal_point:
+        k2, px, py = r1.x[0], pp0[0], pp0[1]
+    else:
+        x0 = np.array([r1.x[0], pp0[0], pp0[1]])
+        lower = [-0.5, 0.0, 0.0]
+        upper = [0.5, w - 1.0, h - 1.0]
+        res = least_squares(
+            residuals, np.clip(x0, lower, upper), method="trf",
+            bounds=(lower, upper), x_scale=[0.01, 100.0, 100.0], max_nfev=200,
+        )
+        if res.cost <= r1.cost:
+            k2, px, py = res.x
+        else:
+            k2, px, py = r1.x[0], pp0[0], pp0[1]
 
     model.distortion_k2 = float(k2)
     model.principal_point = np.array([px, py])

@@ -292,14 +292,26 @@ def corner_calibration(field, cam_id: int, cam_amount: int, line_corners,
             continue
         if not np.array_equal(perm[0], corners[0]):
             continue  # first point stays the min-min corner
+        # pose-first: converge the distortion-free pose, then refine the
+        # distortion and re-fit, keeping whichever scores better — the
+        # blind distortion/pose alternation can spiral on views where arc
+        # pixels contaminate the straight-line groups
         candidate = _copy_model(model)
-        for _ in range(10):
-            calibrate_distortion(merged_pixels, candidate)
+        for _ in range(6):
             if not _fit_pose_to_corners(
                 candidate, list(perm), model_corners, calib_height
             ):
-                continue
+                break
         err = model_miss_rate(field, candidate, thresholded)
+
+        refined = _copy_model(candidate)
+        calibrate_distortion(merged_pixels, refined)
+        for _ in range(3):
+            _fit_pose_to_corners(refined, list(perm), model_corners, calib_height)
+        err_ref = model_miss_rate(field, refined, thresholded)
+        if err_ref < err:
+            candidate, err = refined, err_ref
+
         if err < best_err:
             best_err = err
             best_model = candidate
@@ -514,9 +526,10 @@ def geometry_calibration(config, field, rgb: np.ndarray,
     diag.merged_line_count = len(merged)
     log.info("Lines: %d", len(merged))
 
-    # assign line pixels to long merged lines (reference GeomModel.cpp:558-578)
+    # assign line pixels to long merged lines (reference GeomModel.cpp:558-578);
+    # a 2 px floor keeps enough support on thin (1 px half-width) lines
     merged_pixels = []
-    sq_hw = float(half_lw * half_lw)
+    sq_hw = float(max(half_lw, 2) ** 2)
     for group, (a, b) in zip(groups, merged):
         if np.linalg.norm(b - a) < h / 2:
             merged_pixels.append(np.empty((0, 2)))

@@ -107,10 +107,14 @@ class OpenCVDriver(CameraDriver):
         return super().get_time()
 
     def read_image(self) -> RawFrame | None:
-        self._frame_idx += 1
         if self._image is not None:
+            # image files replay exactly one frame (single-frame datasets)
+            if self._frame_idx >= 1:
+                return None
+            self._frame_idx += 1
             frame = self._image
         else:
+            self._frame_idx += 1
             ok, frame = self._cap.read()
             if not ok:
                 return None

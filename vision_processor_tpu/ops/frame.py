@@ -246,9 +246,12 @@ def resample_flat_packed(
 def quad2rgba(planes: jnp.ndarray, fmt: str) -> jnp.ndarray:
     """Demosaic the planes back to a half-resolution RGB image (H, W, 3) f32.
 
-    Grid positions are the plane's own pixel centers, so this reproduces the
-    reference quad2rgba sampling (reference kernel/quad2rgba.cl:23-53).
+    Bayer planes are blended with the reference's quarter-pixel offsets
+    (reference kernel/quad2rgba.cl:23-53); BGR input is a pure channel
+    reorder (no resampling blur).
     """
+    if fmt == BGR:
+        return jnp.stack([planes[2], planes[1], planes[0]], axis=-1)
     h, w = planes.shape[1:]
     px, py = jnp.meshgrid(
         jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
