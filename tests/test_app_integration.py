@@ -111,3 +111,53 @@ def test_app_full_loop(app_env, divb_field, overhead_model, monkeypatch):
     assert last.frame_number == 4
     # file time = frames-read / fps (deterministic replay clock)
     assert last.t_capture == pytest.approx(4 / 100.0, abs=1e-6)
+
+
+def test_app_pipelined_mode(app_env, divb_field, overhead_model, monkeypatch):
+    """One-frame device/host overlap still emits every frame (flush at end)."""
+    from vision_processor_tpu.app.main import App
+    from vision_processor_tpu.io.camera import SyntheticDriver, register_driver
+    from vision_processor_tpu.io.synthetic import Scene, SceneBall, SceneBot
+    from vision_processor_tpu.net.udp import UDPSocket
+    from vision_processor_tpu.proto import SSL_WrapperPacket
+
+    monkeypatch.setenv("VPTPU_PIPELINE", "1")
+    cfg_path, group, port = app_env
+
+    scene = Scene(
+        bots=[SceneBot(2, "blue", -1800.0, -300.0, -0.4)],
+        balls=[SceneBall(-3000.0, 900.0)],
+    )
+    register_driver(
+        "SYNTHETIC",
+        lambda cam_cfg: SyntheticDriver(
+            overhead_model, divb_field.geometry.field, scene,
+            fmt="RGGB", fps=100.0, frames=3,
+        ),
+    )
+
+    received = []
+
+    class Recorder(UDPSocket):
+        def _parse(self, data):
+            wrapper = SSL_WrapperPacket()
+            wrapper.ParseFromString(data)
+            if wrapper.HasField("detection"):
+                received.append(wrapper.detection)
+
+    recorder = Recorder(group, port)
+    try:
+        app = App(str(cfg_path))
+        assert app.pipeline
+        app.run()
+        import time as _t
+
+        _t.sleep(0.3)
+    finally:
+        recorder.close()
+
+    assert len(received) == 3
+    assert sorted(d.frame_number for d in received) == [1, 2, 3]
+    last = max(received, key=lambda d: d.frame_number)
+    assert len(last.robots_blue) == 1
+    assert last.robots_blue[0].robot_id == 2

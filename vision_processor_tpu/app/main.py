@@ -59,6 +59,12 @@ class App:
         import os
 
         self.benchmark = os.environ.get("VPTPU_BENCHMARK", "") == "1"
+        # one-frame device/host overlap: dispatch frame n+1 before finishing
+        # frame n on the host (detections ship one frame later; colors lag
+        # one frame). Off by default to match the reference's frame-serial
+        # loop exactly.
+        self.pipeline = os.environ.get("VPTPU_PIPELINE", "") == "1"
+        self._pending = None
 
         if cfg.wait_for_geometry:
             log.info("Waiting for geometry...")
@@ -91,6 +97,13 @@ class App:
             else:
                 self._idle_path(frame, frame_id, real_start)
 
+        if self._pending is not None:
+            device_out, start, ts = self._pending
+            self._pending = None
+            wrapper, _, _ = self.processor.finish_frame(device_out, start, ts)
+            wrapper.detection.t_sent = self.camera.get_time()
+            self.socket.send(wrapper)
+
         log.info("Stopping vision_processor")
         self.close()
 
@@ -101,9 +114,16 @@ class App:
         )
         with self.frame_stats_timer.stage("device_step") as _:
             device_out = self.processor.device_step(frame.data, frame.fmt, tracked)
+        if self.pipeline:
+            pending, self._pending = self._pending, (device_out, start, frame.timestamp)
+            if pending is None:
+                return
+            device_out, start, ts = pending
+        else:
+            ts = frame.timestamp
         with self.frame_stats_timer.stage("host_finish"):
             wrapper, blobs, det = self.processor.finish_frame(
-                device_out, start, frame.timestamp
+                device_out, start, ts
             )
         wrapper.detection.t_sent = self.camera.get_time()
         self.socket.send(wrapper)
