@@ -1,0 +1,122 @@
+"""Adversarial detection scenes: close robots (clipping NMS must keep both),
+a ball touching a robot (suppressed by non-clipping ball generation, matching
+the reference), and color drift adaptation over frames."""
+import numpy as np
+import pytest
+
+from vision_processor_tpu.app.processor import Processor
+from vision_processor_tpu.io.camera import RawFrame
+from vision_processor_tpu.io.synthetic import (
+    Scene,
+    SceneBall,
+    SceneBot,
+    render_raw,
+)
+from vision_processor_tpu.utils.config import VisionConfig
+
+MAXH = 150.0
+
+
+@pytest.fixture()
+def processor(divb_field, overhead_model):
+    cfg = VisionConfig()
+    cfg.max_blobs = 256
+    proc = Processor(cfg)
+    geometry = divb_field.geometry
+    geometry.ClearField("calib")
+    geometry.calib.append(overhead_model.to_proto(0))
+    proc.geometry_check(960, 720, geometry=geometry, version=1)
+    return proc
+
+
+def _run(proc, divb_field, scene):
+    raw = render_raw(proc.perspective.model, divb_field.geometry.field, scene, "RGGB")
+    frame = RawFrame(raw, "RGGB", 960, 720, 0.0)
+    wrapper, blobs, det = proc.process_frame(frame, tracked_by_cam={}, now=1.0)
+    return wrapper.detection
+
+
+def test_two_close_robots_both_kept(processor, divb_field):
+    """195 mm apart: hulls don't clip (2 x 85 mm radius + tolerance), both
+    robots must survive the NMS."""
+    scene = Scene(
+        bots=[
+            SceneBot(1, "yellow", -2600.0, 0.0, 0.0),
+            SceneBot(9, "blue", -2600.0, 195.0, 3.1),
+        ],
+        balls=[],
+        noise_sigma=1.0,
+    )
+    det = _run(processor, divb_field, scene)
+    assert len(det.robots_yellow) == 1
+    assert len(det.robots_blue) == 1
+
+
+def test_bot_ball_clipping_geometry():
+    """Hull geometry of the ball suppression (flat front at 55 mm, circular
+    side/back at 85 mm, reference src/blobs/hypothesis.cpp:126-139)."""
+    import jax.numpy as jnp
+
+    from vision_processor_tpu.models.detector import bot_ball_clipping
+
+    bot_pos = jnp.asarray([[0.0, 0.0]])
+    orient = jnp.asarray([0.0])  # nose along +x
+    balls = jnp.asarray(
+        [
+            [100.0, 0.0],   # ahead of the flat front reach: legal
+            [60.0, 0.0],    # ahead but outside 55 + 10.5 - 10 mm: legal
+            [45.0, 0.0],    # clips the flat front
+            [-90.0, 0.0],   # behind: clips the circular hull (85 + 10.5)
+            [-100.0, 0.0],  # behind, outside the hull: legal
+            [0.0, 400.0],   # far: legal
+        ]
+    )
+    clipped = np.asarray(
+        bot_ball_clipping(bot_pos, orient, balls, jnp.float32(21.5),
+                          jnp.float32(10.0))
+    )[0]
+    assert clipped.tolist() == [False, False, True, True, False, False]
+
+
+def test_far_ball_survives(processor, divb_field):
+    scene = Scene(
+        bots=[SceneBot(4, "yellow", -2600.0, 0.0, 2.0)],
+        balls=[SceneBall(-2600.0, 400.0)],
+        noise_sigma=1.0,
+    )
+    det = _run(processor, divb_field, scene)
+    assert len(det.balls) == 1
+
+
+def test_color_drift_adaptation(processor, divb_field):
+    """With drifted cover colors the adaptive update converges and ids stay
+    correct over a few frames."""
+    import vision_processor_tpu.io.synthetic as S
+
+    orig = (S.YELLOW.copy(), S.GREEN.copy(), S.PINK.copy())
+    try:
+        S.YELLOW[:] = [200, 170, 60]  # darker yellow
+        S.GREEN[:] = [70, 190, 110]
+        S.PINK[:] = [200, 90, 150]
+        scene = Scene(
+            bots=[
+                SceneBot(11, "yellow", -2800.0, 500.0, 1.2),
+                SceneBot(3, "blue", -1600.0, -700.0, -0.8),
+            ],
+            balls=[],
+            noise_sigma=1.0,
+        )
+        pink_before = processor.colors.pink.copy()
+        yellow_before = processor.colors.yellow.copy()
+        for _ in range(4):
+            det = _run(processor, divb_field, scene)
+        assert len(det.robots_yellow) == 1
+        assert det.robots_yellow[0].robot_id == 11
+        assert len(det.robots_blue) == 1
+        # side colors adapt from pattern-assigned blobs every frame; the
+        # team-color 2-means stays guarded with only two center blobs
+        # (in-group spread vs pink contrast), exactly like the reference
+        assert not np.array_equal(processor.colors.pink, pink_before)
+        del yellow_before
+    finally:
+        S.YELLOW[:], S.GREEN[:], S.PINK[:] = orig
