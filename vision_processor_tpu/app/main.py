@@ -90,12 +90,16 @@ class App:
 
             self.processor.geometry_check(frame.width, frame.height)
 
-            if self.processor.perspective.geometry_version:
-                self._detection_path(frame, start, real_start)
-            elif self.socket.geometry_version:
-                self._calibration_path(frame, real_start)
-            else:
-                self._idle_path(frame, frame_id, real_start)
+            try:
+                if self.processor.perspective.geometry_version:
+                    self._detection_path(frame, start, real_start)
+                elif self.socket.geometry_version:
+                    self._calibration_path(frame, real_start)
+                else:
+                    self._idle_path(frame, frame_id, real_start)
+            except Exception:  # keep the camera loop alive on transient
+                log.exception("frame %d failed, continuing", frame_id)
+                self._pending = None
 
         if self._pending is not None:
             device_out, start, ts = self._pending
