@@ -8,7 +8,6 @@ input, color state, protobuf emission.
 """
 from __future__ import annotations
 
-import threading
 from dataclasses import dataclass
 from functools import partial
 
@@ -26,18 +25,6 @@ from ..utils.config import VisionConfig
 from ..utils.log import get_logger
 
 log = get_logger(__name__)
-
-_PARAM_KEYS = (
-    "max_bot_height",
-    "min_circularity",
-    "max_robot_radius",
-    "min_tracking_radius",
-    "max_bot_acceleration",
-    "min_confidence",
-    "clipping_tolerance",
-    "ball_radius",
-)
-
 
 def full_step(bm_cfg: BlobMachineConfig, det_cfg: DetectorConfig, raw, packed_cam,
               colors7, tracked, params):

@@ -59,13 +59,19 @@ def calc_bot_id(colors: ColorState, blob_colors) -> int:
 def ball_color_score(colors: ColorState, blob_color: np.ndarray) -> float:
     """1 - orange/false-orange distance ratio, zeroed when the blob is closer
     to the field or field-line color (reference src/blobs/hypothesis.cpp:83-94)."""
-    c = np.asarray(blob_color, dtype=np.float64)
-    false_orange = _SQ(c - colors.field)
-    orange = _SQ(c - colors.orange)
-    field_line = _SQ(c - colors.field_line)
-    if false_orange <= orange or field_line <= orange:
-        return 0.0
-    return 1.0 - orange / false_orange
+    return float(ball_color_scores(colors, np.asarray(blob_color)[None])[0])
+
+
+def ball_color_scores(colors: ColorState, blob_colors: np.ndarray) -> np.ndarray:
+    """Vectorized ball color scores for (n, 3) blob colors."""
+    c = np.asarray(blob_colors, dtype=np.float64)
+    false_orange = np.sum((c - colors.field) ** 2, axis=-1)
+    orange = np.sum((c - colors.orange) ** 2, axis=-1)
+    field_line = np.sum((c - colors.field_line) ** 2, axis=-1)
+    bad = (false_orange <= orange) | (field_line <= orange)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score = 1.0 - orange / false_orange
+    return np.where(bad | ~np.isfinite(score), 0.0, score)
 
 
 def tracked_color_veto(colors: ColorState, bot: BotDetection) -> bool:
@@ -156,18 +162,18 @@ class HostDetector:
         return bots
 
     def build_balls(self, det: dict, blobs: dict) -> list[BallDetection]:
-        keep = blobs["valid"] & ~det["ball_clipped"]
-        balls = []
-        for j in np.flatnonzero(keep):
-            ball = BallDetection(
+        keep = np.flatnonzero(blobs["valid"] & ~det["ball_clipped"])
+        scores = ball_color_scores(self.colors, blobs["color"][keep])
+        return [
+            BallDetection(
                 pos=blobs["field_pos"][j],
                 blob_color=blobs["color"][j].astype(np.int64),
                 blob_center=blobs["center"][j].astype(np.int64),
                 blob_score=float(blobs["score"][j]),
+                score=float(scores[i]),
             )
-            ball.score = ball_color_score(self.colors, ball.blob_color)
-            balls.append(ball)
-        return balls
+            for i, j in enumerate(keep)
+        ]
 
     # -- color update + recalc ---------------------------------------------
 
@@ -196,8 +202,12 @@ class HostDetector:
                     bot.score = 0.0
             else:
                 bot.bot_id = calc_bot_id(self.colors, bot.blob_colors)
-        for ball in balls:
-            ball.score = ball_color_score(self.colors, ball.blob_color)
+        if balls:
+            scores = ball_color_scores(
+                self.colors, np.stack([b.blob_color for b in balls])
+            )
+            for ball, score in zip(balls, scores):
+                ball.score = float(score)
 
     # -- final filters ------------------------------------------------------
 
@@ -207,7 +217,7 @@ class HostDetector:
         if not out:
             return out
 
-        # camera-edge filter (reference src/main.cpp:160-192)
+        # camera-edge filter (reference src/main.cpp:160-192), vectorized
         model = self.perspective.model
         field = self.perspective.field
         from .camera import goal_boundary_width
@@ -217,24 +227,32 @@ class HostDetector:
         min_d2 = self.config.min_cam_edge_distance**2
         w, h = float(model.size[0]), float(model.size[1])
 
-        kept = []
-        for ball in out:
-            img = model.field2image(
-                np.array([ball.pos[0], ball.pos[1], max_bot_height])
+        pos = np.stack([b.pos for b in out])
+        img = model.field2image(
+            np.concatenate(
+                [pos, np.full((len(out), 1), max_bot_height)], axis=1
             )
-            borders = np.array(
-                [[0.0, img[1]], [w - 1, img[1]], [img[0], 0.0], [img[0], h - 1]]
-            )
-            bpos = model.image2field(borders, max_bot_height)[:, :2]
-            inside = (
-                (np.abs(bpos[:, 0]) <= half_len)
-                & (np.abs(bpos[:, 1]) <= half_wid)
-                & np.isfinite(bpos).all(axis=1)
-            )
-            d2 = np.sum((bpos - ball.pos) ** 2, axis=-1)
-            if not np.any(inside & (d2 < min_d2)):
-                kept.append(ball)
-        return kept
+        )
+        borders = np.stack(
+            [
+                np.stack([np.zeros(len(out)), img[:, 1]], axis=1),
+                np.stack([np.full(len(out), w - 1), img[:, 1]], axis=1),
+                np.stack([img[:, 0], np.zeros(len(out))], axis=1),
+                np.stack([img[:, 0], np.full(len(out), h - 1)], axis=1),
+            ],
+            axis=1,
+        )  # (n, 4, 2)
+        bpos = model.image2field(
+            borders.reshape(-1, 2), max_bot_height
+        )[:, :2].reshape(len(out), 4, 2)
+        inside = (
+            (np.abs(bpos[..., 0]) <= half_len)
+            & (np.abs(bpos[..., 1]) <= half_wid)
+            & np.isfinite(bpos).all(axis=-1)
+        )
+        d2 = np.sum((bpos - pos[:, None, :]) ** 2, axis=-1)
+        near_edge = np.any(inside & (d2 < min_d2), axis=1)
+        return [b for b, cut in zip(out, near_edge) if not cut]
 
     # -- emission -----------------------------------------------------------
 

@@ -18,8 +18,6 @@ state so tracked-bot search feeds from all cameras without host round trips.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
