@@ -110,3 +110,21 @@ def test_replay_packets(tmp_path):
     assert len(frames) == 2
     assert frames[0].balls[0].x == 100.0
     assert frames[1].robots_yellow[0].robot_id == 7
+
+
+def test_vendor_drivers_require_sdk():
+    from vision_processor_tpu.io.vendor import MVImpactDriver, SpinnakerDriver
+    from vision_processor_tpu.utils.config import CameraSection
+
+    with pytest.raises(RuntimeError, match="Spinnaker"):
+        SpinnakerDriver(CameraSection(driver="SPINNAKER"))
+    with pytest.raises(RuntimeError, match="mvIMPACT"):
+        MVImpactDriver(CameraSection(driver="MVIMPACT"))
+
+
+def test_open_camera_unknown_driver():
+    from vision_processor_tpu.io.camera import open_camera
+    from vision_processor_tpu.utils.config import CameraSection
+
+    with pytest.raises(ValueError):
+        open_camera(CameraSection(driver="NOPE"))

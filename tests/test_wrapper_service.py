@@ -117,3 +117,9 @@ async def test_websocket_topic_stream(aiohttp_client, geometry_yml, tmp_path):
     assert body.startswith(b"\xff\xd8")
     resp = await client.get("/snapshot/0/missing")
     assert resp.status == 404
+
+    # frontend index served at /
+    resp = await client.get("/")
+    assert resp.status == 200
+    body = await resp.text()
+    assert "wrapper" in body.lower()
