@@ -296,3 +296,16 @@ def test_snapshot_writer(tmp_path):
     writer.close()
     assert out.exists()
     assert out.read_bytes()[:2] == b"\xff\xd8"
+
+
+def test_processor_apply_tunables():
+    from vision_processor_tpu.app.processor import Processor
+    from vision_processor_tpu.utils.config import VisionConfig
+
+    cfg = VisionConfig()
+    proc = Processor(cfg)
+    cfg.orange_reference = np.array([11, 22, 33])
+    cfg.reference_force = 0.25
+    proc.apply_tunables()
+    np.testing.assert_array_equal(proc.colors.orange_ref, [11, 22, 33])
+    assert proc.colors.reference_force == 0.25

@@ -80,7 +80,8 @@ class App:
     def run(self):
         frame_id = 0
         while self.running:
-            self.config.reload_if_changed()
+            if self.config.reload_if_changed():
+                self.processor.apply_tunables()
             frame = self.camera.read_image()
             if frame is None:
                 break

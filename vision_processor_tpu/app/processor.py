@@ -140,6 +140,21 @@ class Processor:
         self._geom_key = None
         self.frame_id = 0
 
+    def apply_tunables(self) -> None:
+        """Propagate hot-reloaded tunables into live state (the reference's
+        applyTunables refreshes the reference colors and blend forces,
+        reference src/Resources.cpp:188-214; thresholds flow into the device
+        step through params() every frame already)."""
+        cfg = self.config
+        self.colors.orange_ref = np.asarray(cfg.orange_reference, dtype=np.int64)
+        self.colors.field_ref = np.asarray(cfg.field_reference, dtype=np.int64)
+        self.colors.yellow_ref = np.asarray(cfg.yellow_reference, dtype=np.int64)
+        self.colors.blue_ref = np.asarray(cfg.blue_reference, dtype=np.int64)
+        self.colors.green_ref = np.asarray(cfg.green_reference, dtype=np.int64)
+        self.colors.pink_ref = np.asarray(cfg.pink_reference, dtype=np.int64)
+        self.colors.reference_force = cfg.reference_force
+        self.colors.history_force = cfg.history_force
+
     # -- geometry -----------------------------------------------------------
 
     @property
