@@ -120,3 +120,17 @@ def test_color_drift_adaptation(processor, divb_field):
         del yellow_before
     finally:
         S.YELLOW[:], S.GREEN[:], S.PINK[:] = orig
+
+
+def test_noise_robustness(processor, divb_field):
+    """Detection stays exact under heavy sensor noise (sigma = 10 on 8-bit)."""
+    poses = [(-4200, -1400, "yellow", 1), (-3600, 0, "blue", 5),
+             (-2600, 1100, "yellow", 14), (-1300, 600, "blue", 6)]
+    bots = [SceneBot(i, team, x, y, 0.4 * i) for (x, y, team, i) in poses]
+    scene = Scene(bots=bots, balls=[SceneBall(-2000.0, -400.0)],
+                  noise_sigma=10.0, seed=1)
+    det = _run(processor, divb_field, scene)
+    got = {("yellow", r.robot_id) for r in det.robots_yellow}
+    got |= {("blue", r.robot_id) for r in det.robots_blue}
+    assert got == {(team, i) for (x, y, team, i) in poses}
+    assert len(det.balls) == 1
