@@ -61,9 +61,11 @@ class App:
         self.benchmark = os.environ.get("VPTPU_BENCHMARK", "") == "1"
         # one-frame device/host overlap: dispatch frame n+1 before finishing
         # frame n on the host (detections ship one frame later; colors lag
-        # one frame). Off by default to match the reference's frame-serial
+        # one frame). ON by default — the device step and host finishing are
+        # comparable in cost, so the overlap nearly doubles sustained
+        # throughput; VPTPU_PIPELINE=0 restores the reference's frame-serial
         # loop exactly.
-        self.pipeline = os.environ.get("VPTPU_PIPELINE", "") == "1"
+        self.pipeline = os.environ.get("VPTPU_PIPELINE", "1") != "0"
         self._pending = None
 
         if cfg.wait_for_geometry:
@@ -255,7 +257,14 @@ def main(argv=None):
 
     honor_platform_env()
     argv = argv if argv is not None else sys.argv[1:]
-    app = App(argv[0] if argv else "config.yml")
+    if len(argv) > 1:
+        # N configs -> production multi-camera mode: all cameras batched
+        # into one XLA program on one chip (parallel/multicam.py)
+        from .multicam_app import MultiCamApp
+
+        app = MultiCamApp(argv)
+    else:
+        app = App(argv[0] if argv else "config.yml")
     signal.signal(signal.SIGTERM, app.stop)
     signal.signal(signal.SIGINT, app.stop)
     app.run()

@@ -1,0 +1,211 @@
+"""Production multi-camera mode: N cameras on one TPU chip, one XLA program.
+
+``python -m vision_processor_tpu.app.main cfg0.yml cfg1.yml ...`` (more than
+one config) drives all cameras through ``parallel.multicam`` instead of one
+process per camera. This is the chip-native re-expression of the reference's
+process-per-camera architecture (reference README architecture diagram): the
+per-frame compute of every camera is batched into one jitted program (the
+camera loop is unrolled inside, see parallel/multicam.py), while each camera
+keeps its own multicast socket, geometry, color state and host finishing, so
+the wire behavior is indistinguishable from N reference processes.
+
+Tracking input comes from the UDP tracker (full fleet state, real
+finite-difference velocities), not the device summary loop — host-side id
+assignment stays authoritative (reference src/udpsocket.cpp:204-256).
+"""
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ..io.camera import open_camera
+from ..net.udp import GCSocket, VisionSocket, get_real_time
+from ..parallel.multicam import MultiCamConfig, batched_step_host_tracked
+from ..models.detector import DetectorConfig
+from ..ops.pipeline import BlobMachineConfig
+from ..utils.config import VisionConfig
+from ..utils.log import get_logger
+from .processor import Processor, TrackedArrays
+
+log = get_logger(__name__)
+
+
+class MultiCamApp:
+    """N-camera production loop on one chip."""
+
+    def __init__(self, config_paths: list[str]):
+        import jax
+
+        self.configs = [VisionConfig.load(p) for p in config_paths]
+        self.n_cams = len(self.configs)
+        cfg0 = self.configs[0]
+
+        heights_path = Path(cfg0.bot_heights_file)
+        bot_heights = (
+            yaml.safe_load(heights_path.read_text()) or {}
+            if heights_path.exists() else {}
+        )
+        self.gc_socket = GCSocket(cfg0.gc_ip, cfg0.gc_port, bot_heights)
+        # one socket per camera, matching the reference's per-process buses
+        self.sockets = [
+            VisionSocket(
+                c.vision_ip, c.vision_port, c.cam_id,
+                self.gc_socket.default_bot_height,
+            )
+            for c in self.configs
+        ]
+        self.cameras = [open_camera(c.camera) for c in self.configs]
+        self.processors = [
+            Processor(c, s, self.gc_socket)
+            for c, s in zip(self.configs, self.sockets)
+        ]
+        self._jax = jax
+        self._step = None
+        self._geom_key = None
+        self._pool = ThreadPoolExecutor(self.n_cams)
+        self.running = True
+
+        if cfg0.wait_for_geometry:
+            log.info("Waiting for geometry on %d sockets...", self.n_cams)
+            while any(s.geometry_version == 0 for s in self.sockets):
+                for s in self.sockets:
+                    s.geometry_check()
+                time.sleep(0.001)
+
+    def stop(self, *_):
+        self.running = False
+
+    # -- compile ------------------------------------------------------------
+
+    def _ensure_step(self, fmt: str, raw_shape: tuple):
+        persp = [p.perspective for p in self.processors]
+        key = (fmt, raw_shape,
+               tuple(tuple(pp.reprojected_field_size) for pp in persp))
+        if self._geom_key == key:
+            return True
+        if any(pp.geometry_version == 0 for pp in persp):
+            return False  # all cameras must be calibrated first
+        hf = max(int(pp.reprojected_field_size[1]) for pp in persp)
+        wf = max(int(pp.reprojected_field_size[0]) for pp in persp)
+        ref = persp[0]
+        from ..ops import blob as B
+
+        bm = BlobMachineConfig(
+            fmt=fmt,
+            raw_shape=tuple(raw_shape),
+            flat_shape=(hf, wf),
+            field_scale=float(ref.field_scale),
+            field_offset=(0.0, 0.0),
+            grad_offset=B.gradient_offset(ref.max_blob_radius, ref.field_scale),
+            sat_radius=B.sat_radius(ref.min_blob_radius, ref.field_scale),
+            disc_radius=B.disc_radius(ref.min_blob_radius, ref.field_scale),
+            max_blobs=self.configs[0].max_blobs,
+        )
+        det = DetectorConfig(max_blobs=bm.max_blobs,
+                             max_tracked=self.processors[0].det_cfg.max_tracked)
+        self.mc_cfg = MultiCamConfig(bm=bm, det=det, n_cams=self.n_cams)
+        self._step = batched_step_host_tracked(self.mc_cfg)
+        self._geom_key = key
+        log.info("Compiled %d-camera pipeline: raw=%s flat=%s max_blobs=%d",
+                 self.n_cams, raw_shape, bm.flat_shape, bm.max_blobs)
+        return True
+
+    # -- per-frame ----------------------------------------------------------
+
+    def _read_all(self):
+        """Read the next frame from every camera concurrently."""
+        return list(self._pool.map(lambda c: c.read_image(), self.cameras))
+
+    def _device_inputs(self):
+        jnp = self._jax.numpy
+        packed = np.stack(
+            [p.perspective.model.packed() for p in self.processors]
+        ).astype(np.float32)
+        scales = np.array(
+            [p.perspective.field_scale for p in self.processors],
+            dtype=np.float32,
+        )
+        offsets = np.stack([
+            np.array([p.perspective.visible_field_extent[0],
+                      p.perspective.visible_field_extent[2]], dtype=np.float32)
+            for p in self.processors
+        ])
+        colors = np.stack([p.colors.packed() for p in self.processors])
+        return (jnp.asarray(packed), jnp.asarray(scales),
+                jnp.asarray(offsets), jnp.asarray(colors))
+
+    def step_frames(self, frames, now: float):
+        """One batched device step + per-camera host finishing."""
+        jnp = self._jax.numpy
+        fmt = frames[0].fmt
+        raws = np.stack([f.data for f in frames])
+        if not self._ensure_step(fmt, raws.shape[1:]):
+            return None
+        packed, scales, offsets, colors = self._device_inputs()
+
+        # fleet tracking state from the wire (all sockets see all cameras)
+        tracked = TrackedArrays.build(
+            self.sockets[0].get_tracked_objects(), now,
+            self.processors[0].det_cfg.max_tracked,
+        )
+        p0 = self.processors[0]
+        blobs, det = self._step(
+            jnp.asarray(raws), packed, scales, offsets, colors,
+            tracked.as_dict(), p0.params(),
+        )
+
+        wrappers = []
+        for c, proc in enumerate(self.processors):
+            per_cam = (
+                {k: v[c] for k, v in blobs.items()},
+                {k: v[c] for k, v in det.items()},
+            )
+            wrapper, _, _ = proc.finish_frame(
+                per_cam, now, frames[c].timestamp
+            )
+            wrapper.detection.t_sent = self.cameras[c].get_time()
+            self.sockets[c].send(wrapper)
+            self.sockets[c].update_time()
+            wrappers.append(wrapper)
+        return wrappers
+
+    def run(self):
+        frame_id = 0
+        while self.running:
+            for cfg, proc in zip(self.configs, self.processors):
+                if cfg.reload_if_changed():
+                    proc.apply_tunables()
+            frames = self._read_all()
+            if any(f is None for f in frames):
+                break
+            frame_id += 1
+            now = self.cameras[0].get_time()
+            real_start = get_real_time()
+            for proc, frame in zip(self.processors, frames):
+                proc.geometry_check(frame.width, frame.height)
+            try:
+                out = self.step_frames(frames, now)
+            except Exception:
+                log.exception("frame set %d failed, continuing", frame_id)
+                continue
+            if out is None:
+                continue  # waiting for calibration on some camera
+            processing = get_real_time() - real_start
+            budget = self.cameras[0].expected_frametime()
+            if budget and processing > budget:
+                log.info("frame time overrun: %.1f ms for %d cameras",
+                         processing * 1e3, self.n_cams)
+        log.info("Stopping multi-camera vision_processor")
+        self.close()
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+        for s in self.sockets:
+            s.close()
+        self.gc_socket.close()
+        for c in self.cameras:
+            c.close()

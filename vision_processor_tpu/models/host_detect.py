@@ -264,36 +264,46 @@ class HostDetector:
         gc_heights,
         max_bot_height: float,
     ) -> None:
-        """Append detections (reference src/blobs/hypothesis.cpp:70-81,141-154)."""
+        """Append detections (reference src/blobs/hypothesis.cpp:70-81,141-154).
+
+        All camera projections are batched into two vectorized calls —
+        per-object single-point projections dominated the host finishing
+        profile."""
         model = self.perspective.model
         field = self.perspective.field
         ball_radius = field.ball_radius or 21.5
-        for bot in bots:
-            yellow = bot.bot_id < 16
-            img = model.field2image(
-                np.array([bot.pos[0], bot.pos[1], max_bot_height])
-            )
-            height = gc_heights["yellow" if yellow else "blue"]
-            bot_pos = model.image2field(img, height)
+        n_bots, n_balls = len(bots), len(balls)
+        if not (n_bots or n_balls):
+            return
+        pos = np.empty((n_bots + n_balls, 3))
+        heights = np.empty(n_bots + n_balls)
+        for i, bot in enumerate(bots):
+            pos[i, :2] = bot.pos
+            heights[i] = gc_heights["yellow" if bot.bot_id < 16 else "blue"]
+        for i, ball in enumerate(balls):
+            pos[n_bots + i, :2] = ball.pos
+            heights[n_bots + i] = ball_radius
+        pos[:, 2] = max_bot_height
+        imgs = model.field2image(pos)
+        world = model.image2field(imgs, heights)
+        for i, bot in enumerate(bots):
             entry = (
-                frame.robots_yellow.add() if yellow else frame.robots_blue.add()
+                frame.robots_yellow.add() if bot.bot_id < 16
+                else frame.robots_blue.add()
             )
             entry.confidence = bot.score
             entry.robot_id = bot.bot_id % 16
-            entry.x = float(bot_pos[0])
-            entry.y = float(bot_pos[1])
-            entry.height = float(bot_pos[2])
+            entry.x = float(world[i, 0])
+            entry.y = float(world[i, 1])
+            entry.height = float(world[i, 2])
             entry.orientation = bot.orientation
-            entry.pixel_x = float(img[0])
-            entry.pixel_y = float(img[1])
-        for ball in balls:
-            img = model.field2image(
-                np.array([ball.pos[0], ball.pos[1], max_bot_height])
-            )
-            pos = model.image2field(img, ball_radius)
+            entry.pixel_x = float(imgs[i, 0])
+            entry.pixel_y = float(imgs[i, 1])
+        for i, ball in enumerate(balls):
+            j = n_bots + i
             entry = frame.balls.add()
             entry.confidence = ball.score
-            entry.x = float(pos[0])
-            entry.y = float(pos[1])
-            entry.pixel_x = float(img[0])
-            entry.pixel_y = float(img[1])
+            entry.x = float(world[j, 0])
+            entry.y = float(world[j, 1])
+            entry.pixel_x = float(imgs[j, 0])
+            entry.pixel_y = float(imgs[j, 1])

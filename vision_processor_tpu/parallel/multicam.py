@@ -138,6 +138,33 @@ def batched_step(cfg: MultiCamConfig):
     return jax.jit(step)
 
 
+def batched_step_host_tracked(cfg: MultiCamConfig):
+    """Like ``batched_step`` but with the tracked prior supplied by the host.
+
+    The production multi-camera app builds the tracked arrays from the UDP
+    tracker every frame (full fleet state — own cameras' previous detections
+    plus any external per-camera processes on the wire, with real
+    finite-difference velocities, reference src/udpsocket.cpp:204-256), so
+    the device loop's summary feedback is not used and host-side id
+    assignment stays authoritative.
+    """
+
+    def step(raws, packed_cams, field_scales, field_offsets, colors7, tracked, params):
+        outs = [
+            _single_cam_step(
+                cfg, raws[c], packed_cams[c], field_scales[c],
+                field_offsets[c], colors7[c], tracked, params,
+            )
+            for c in range(cfg.n_cams)
+        ]
+        blobs, det, _ = (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *group) for group in zip(*outs)
+        )
+        return blobs, det
+
+    return jax.jit(step)
+
+
 # ---------------------------------------------------------------------------
 # multi chip: shard_map over a camera mesh
 # ---------------------------------------------------------------------------
