@@ -149,7 +149,8 @@ def score_hypotheses(pos5, valid5):
 # ---------------------------------------------------------------------------
 
 
-def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_radius):
+def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_radius,
+                         blob_color=None, colors=None):
     """Best 5-blob constellation per anchor blob.
 
     Returns dict with per-anchor (A,) score/orientation, (A, 2) pos and
@@ -169,12 +170,24 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     )
 
     # Highest-quality K in radius (the reference uses all in-radius
-    # neighbours; K bounds the tensor shape). Blob slots arrive sorted by
-    # extraction score, so preferring low indices keeps the real pattern
-    # blobs over spurious local maxima. The anchor itself is a candidate,
-    # mirroring rangeSearch returning the query blob.
+    # neighbours, reference src/main.cpp:63-75; K bounds the tensor shape).
+    # Ring members are ranked by side-color plausibility — distance to the
+    # nearer of the green/pink pattern colors — so spurious off-color local
+    # maxima (noise, field texture, lines) cannot crowd the true pattern
+    # blobs out of the ring in dense scenes; ties fall back to extraction
+    # score order (blob slots arrive score-sorted). The anchor itself is a
+    # candidate, mirroring rangeSearch returning the query blob.
     blob_rank = jnp.arange(blob_pos.shape[0], dtype=jnp.float32)
-    sel_score = jnp.where(in_radius, -blob_rank[None, :], -jnp.inf)
+    if blob_color is not None and colors is not None:
+        green, pink = colors[4], colors[5]
+        d_side = jnp.minimum(
+            jnp.sum((blob_color - green) ** 2, axis=-1),
+            jnp.sum((blob_color - pink) ** 2, axis=-1),
+        )  # (k_all,)
+        rank = d_side + blob_rank * 1e-6
+    else:
+        rank = blob_rank
+    sel_score = jnp.where(in_radius, -rank[None, :], -jnp.inf)
     _, sel_idx = jax.lax.top_k(sel_score, k)  # (A, K)
     sel_valid = jnp.take_along_axis(in_radius, sel_idx, axis=1)
 
@@ -473,7 +486,8 @@ def detect(
     blob_color = blobs["color"]
 
     det = detection_hypotheses(
-        cfg, blob_pos, blob_valid, params["max_robot_radius"]
+        cfg, blob_pos, blob_valid, params["max_robot_radius"],
+        blob_color=blob_color, colors=colors,
     )
     trk = tracked_hypotheses(
         cfg,
@@ -534,21 +548,91 @@ def detect(
     }
 
 
+def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 6):
+    """Vectorized guarded 2-means over the 4 side-blob colors of each bot.
+
+    Mirrors the host kmeans2 / reference kMeans semantics exactly
+    (reference src/blobs/kmeans.cpp:20-90): refuse to split when the
+    tightest in-group pair is looser than the contrast distance, seed the
+    centers from the nearest members, keep the previous centers on
+    degenerate assignments or when the split is weaker than half the
+    contrast distance. Integer (floor-toward-zero) mean division preserved.
+
+    contrast (B, 3), vals (B, 4, 3), c1/c2 (3,) int32. Returns (B, 3) x2.
+    """
+    b = vals.shape[0]
+    out_group = jnp.min(
+        jnp.sum((vals - contrast[:, None, :]) ** 2, axis=-1), axis=-1
+    )  # (B,)
+    d = vals[:, :, None, :] - vals[:, None, :, :]
+    pair = jnp.sum(d * d, axis=-1) + jnp.eye(4, dtype=vals.dtype) * jnp.asarray(
+        2**30, vals.dtype
+    )
+    in_group = jnp.min(pair, axis=(-2, -1))
+    may_split = in_group <= out_group
+
+    c1 = vals[
+        jnp.arange(b),
+        jnp.argmin(jnp.sum((vals - c1_init) ** 2, axis=-1), axis=-1),
+    ]
+    c2 = vals[
+        jnp.arange(b),
+        jnp.argmin(jnp.sum((vals - c2_init) ** 2, axis=-1), axis=-1),
+    ]
+    degenerate = jnp.all(c1 == c2, axis=-1)
+
+    ok = may_split & ~degenerate
+    # fixed-point iteration (4 points converge well within `iters`); the
+    # reference's int division is Eigen Vector3i / int = C++ trunc-toward-
+    # zero; dRGB values are non-negative so floor == trunc here
+    for _ in range(iters):
+        d1 = jnp.sum((vals - c1[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.sum((vals - c2[:, None, :]) ** 2, axis=-1)
+        assign1 = d1 < d2  # (B, 4)
+        n1 = jnp.sum(assign1, axis=-1)
+        n2 = 4 - n1
+        empty = (n1 == 0) | (n2 == 0)
+        ok = ok & ~empty
+        s1 = jnp.sum(jnp.where(assign1[..., None], vals, 0), axis=1)
+        s2 = jnp.sum(jnp.where(assign1[..., None], 0, vals), axis=1)
+        c1 = jnp.where(
+            (ok & (n1 > 0))[:, None], s1 // jnp.maximum(n1, 1)[:, None], c1
+        )
+        c2 = jnp.where(
+            (ok & (n2 > 0))[:, None], s2 // jnp.maximum(n2, 1)[:, None], c2
+        )
+
+    split = jnp.sum((c1 - c2) ** 2, axis=-1).astype(jnp.float32)
+    weak = split < out_group.astype(jnp.float32) / 4.0
+    ok = ok & ~weak
+    c1 = jnp.where(ok[:, None], c1, c1_init)
+    c2 = jnp.where(ok[:, None], c2, c2_init)
+    return c1, c2
+
+
 def estimate_bot_ids(det, blob_color, colors):
     """In-graph bot id estimate for device-resident multi-camera loops.
 
-    The production path assigns ids on the host with the guarded 2-means
-    (host_detect.calc_bot_id); this cheap estimator classifies each side blob
-    against the current green/pink colors directly and the team by the center
-    blob. Tracked bots keep their known id.
+    Matches the host path's id logic (host_detect.calc_bot_id, reference
+    src/blobs/hypothesis.cpp:208-227): a guarded per-bot 2-means refines the
+    green/pink centers from the 4 side-blob colors (contrast = center blob)
+    before classification; team by center-blob distance to yellow/blue.
+    Tracked bots keep their known id.
     """
     yellow, blue, green, pink = colors[2], colors[3], colors[4], colors[5]
     idx = det["bot_blob_idx"]  # (B, 5)
     safe = jnp.maximum(idx, 0)
     c = blob_color[safe]  # (B, 5, 3)
-    d_green = jnp.sum((c - green) ** 2, axis=-1)
-    d_pink = jnp.sum((c - pink) ** 2, axis=-1)
-    bits = (d_green[:, 1:5] < d_pink[:, 1:5]).astype(jnp.int32)
+
+    # host path truncates (np .astype), not rounds — keep bit-parity
+    ci = c.astype(jnp.int32)
+    g0 = green.astype(jnp.int32)
+    p0 = pink.astype(jnp.int32)
+    g_ref, p_ref = _guarded_kmeans2(ci[:, 0], ci[:, 1:5], g0, p0)
+
+    d_green = jnp.sum((ci[:, 1:5] - g_ref[:, None, :]) ** 2, axis=-1)
+    d_pink = jnp.sum((ci[:, 1:5] - p_ref[:, None, :]) ** 2, axis=-1)
+    bits = (d_green < d_pink).astype(jnp.int32)
     mask = (
         bits[:, 0] * 8 + bits[:, 1] * 4 + bits[:, 2] * 2 + bits[:, 3]
     )
