@@ -18,9 +18,31 @@ def test_gc_socket_heights():
         assert recv.max_bot_height == 150.0
         assert recv.default_bot_height == pytest.approx(137.0)
 
+        # a FULL Referee packet per the complete GC schema, including a
+        # game event (reference proto/ssl_gc_referee_message.proto)
         ref = Referee()
-        ref.yellow.name = "Beta"
-        ref.blue.name = "Unknown Team"
+        ref.packet_timestamp = 1_700_000_000_000_000
+        ref.stage = Referee.NORMAL_FIRST_HALF
+        ref.command = Referee.FORCE_START
+        ref.command_counter = 17
+        ref.command_timestamp = 1_700_000_000_000_000
+        for team, name in ((ref.yellow, "Beta"), (ref.blue, "Unknown Team")):
+            team.name = name
+            team.score = 2
+            team.red_cards = 0
+            team.yellow_cards = 1
+            team.yellow_card_times.append(30_000_000)
+            team.timeouts = 4
+            team.timeout_time = 300_000_000
+            team.goalkeeper = 0
+            team.max_allowed_bots = 11
+        ref.blue_team_on_positive_half = True
+        ev = ref.game_events.add()
+        ev.type = ev.GOAL
+        ev.goal.by_team = 1  # YELLOW
+        ev.goal.kicking_bot = 7
+        ev.goal.location.x = 4.5
+        ev.goal.location.y = 0.25
         send.send(ref)
         time.sleep(0.2)
         assert recv.yellow_bot_height == 120.0
@@ -127,3 +149,41 @@ def test_stage_timer_and_frame_stats():
     assert stats.overruns == 1
     assert stats.percentile(50) > 0
     assert "overruns=1" in stats.summary()
+
+
+def test_tracked_vision_protos_roundtrip():
+    """Full tracked-vision wire schema round-trips (reference
+    proto/ssl_vision_detection_tracked.proto, ssl_vision_wrapper_tracked)."""
+    from vision_processor_tpu.proto import (
+        TrackedFrame,
+        TrackerWrapperPacket,
+    )
+
+    pkt = TrackerWrapperPacket()
+    pkt.uuid = "6f2b8e00-1111-2222-3333-444455556666"
+    pkt.source_name = "vision-processor-tpu"
+    fr = pkt.tracked_frame
+    fr.frame_number = 42
+    fr.timestamp = 1234.5
+    ball = fr.balls.add()
+    ball.pos.x, ball.pos.y, ball.pos.z = 1.0, -2.0, 0.02
+    ball.vel.x, ball.vel.y, ball.vel.z = 0.5, 0.0, 0.0
+    ball.visibility = 0.9
+    bot = fr.robots.add()
+    bot.robot_id.id = 7
+    bot.robot_id.team = 2  # BLUE
+    bot.pos.x, bot.pos.y = -1.5, 0.75
+    bot.orientation = 1.2
+    bot.visibility = 1.0
+    fr.capabilities.append(2)  # CAPABILITY_DETECT_MULTIPLE_BALLS
+    kb = fr.kicked_ball
+    kb.pos.x, kb.pos.y = 0.0, 0.0
+    kb.vel.x, kb.vel.y, kb.vel.z = 3.0, 1.0, 0.0
+    kb.start_timestamp = 1234.0
+
+    wire = pkt.SerializeToString()
+    back = TrackerWrapperPacket()
+    back.ParseFromString(wire)
+    assert back.tracked_frame.robots[0].robot_id.id == 7
+    assert back.tracked_frame.balls[0].pos.y == -2.0
+    assert back.tracked_frame.kicked_ball.vel.x == 3.0

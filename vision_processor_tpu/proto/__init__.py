@@ -19,7 +19,12 @@ _PROTOS = [
     "ssl_vision_detection",
     "ssl_vision_geometry",
     "ssl_vision_wrapper",
+    "ssl_gc_common",
+    "ssl_gc_geometry",
+    "ssl_gc_game_event",
     "ssl_gc_referee_message",
+    "ssl_vision_detection_tracked",
+    "ssl_vision_wrapper_tracked",
 ]
 
 
@@ -68,8 +73,23 @@ from ssl_vision_wrapper_pb2 import (  # noqa: E402
     SSL_WrapperPacket,
 )
 from ssl_gc_referee_message_pb2 import Referee  # noqa: E402
+from ssl_gc_game_event_pb2 import GameEvent  # noqa: E402
+from ssl_gc_common_pb2 import RobotId, Team  # noqa: E402
+from ssl_vision_detection_tracked_pb2 import (  # noqa: E402
+    TrackedBall,
+    TrackedFrame,
+    TrackedRobot,
+)
+from ssl_vision_wrapper_tracked_pb2 import TrackerWrapperPacket  # noqa: E402
 
 __all__ = [
+    "GameEvent",
+    "RobotId",
+    "Team",
+    "TrackedBall",
+    "TrackedFrame",
+    "TrackedRobot",
+    "TrackerWrapperPacket",
     "SSL_DetectionBall",
     "SSL_DetectionFrame",
     "SSL_DetectionRobot",
