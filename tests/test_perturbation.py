@@ -1,0 +1,155 @@
+"""Non-self-referential quality validation: the pipeline must keep its
+recall and position accuracy on scenes that did NOT come out of the
+renderer unmodified — blurred, vignetted, chroma-noised, white-balance-
+shifted and JPEG-recompressed by python/perturb.py (VERDICT r1 item 5).
+
+Runs the real vision_processor App over the perturbed mp4 through the
+OPENCV file driver and scores the wire detections against the dataset's
+exact ground truth.
+"""
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("VPTPU_SKIP_SLOW") == "1", reason="slow integration"
+)
+
+
+# medium optics degradation is handled the way the reference intends:
+# the operator lowers the live circularity threshold (a hot-reloadable
+# tunable, reference src/Resources.cpp:188-214). The heavy profile exceeds
+# the documented ~10 mm/px resolution limit and is for degradation curves,
+# not CI gates.
+@pytest.mark.parametrize(
+    "profile,circularity,min_bot_recall,min_ball_recall,max_err", [
+        ("light", 15.0, 0.9, 0.5, 25.0),
+        # the 21.5 mm ball is ~3 px here — medium blur sits at the
+        # documented ~10 mm/px resolution limit (documentation.md), so the
+        # ball bar only guards against total loss
+        ("medium", 8.0, 0.7, 0.15, 40.0),
+    ])
+def test_perturbed_scene_detection(tmp_path, profile, circularity,
+                                   min_bot_recall, min_ball_recall, max_err):
+    group, port = "224.99.99.91", 18021
+
+    subprocess.run(
+        [
+            sys.executable, str(REPO / "python" / "make_dataset.py"),
+            "--out", str(tmp_path / "data"), "--cams", "2", "--frames", "6",
+        ],
+        check=True, cwd=str(REPO / "python"),
+        env={**os.environ, "PYTHONPATH": str(REPO)}, capture_output=True,
+    )
+    subprocess.run(
+        [
+            sys.executable, str(REPO / "python" / "perturb.py"),
+            "--data", str(tmp_path / "data"),
+            "--out", str(tmp_path / "perturbed"), "--profile", profile,
+        ],
+        check=True, cwd=str(REPO / "python"),
+        env={**os.environ, "PYTHONPATH": str(REPO)}, capture_output=True,
+    )
+
+    folder = tmp_path / "perturbed" / "synthetic" / "cam0"
+    cfg_file = folder / "ssl-vision-config" / "config.yml"
+    cfg = yaml.safe_load(cfg_file.read_text())
+    cfg["camera"]["path"] = str(folder / "scene0.mp4")
+    cfg["network"] = {"vision_ip": group, "vision_port": port,
+                      "gc_ip": "224.99.99.92", "gc_port": 18022}
+    cfg["stream"] = {"active": False}
+    cfg["debug"] = {"wait_for_geometry": True}
+    cfg["thresholds"] = {"blobs": 128, "circularity": circularity}
+    cfg_file.write_text(yaml.dump(cfg))
+
+    truth = json.loads((folder / "scene0.manual.json").read_text())
+
+    from vision_processor_tpu.net.geometry_io import load_geometry
+    from vision_processor_tpu.net.udp import UDPSocket
+    from vision_processor_tpu.proto import SSL_WrapperPacket
+
+    geometry = load_geometry(folder / "geometry.yml")
+
+    class Bus(UDPSocket):
+        def __init__(self, *a):
+            self.detections = []
+            super().__init__(*a)
+
+        def _parse(self, data):
+            wrapper = SSL_WrapperPacket()
+            wrapper.ParseFromString(data)
+            if wrapper.HasField("detection"):
+                self.detections.append(wrapper.detection)
+
+    bus = Bus(group, port)
+    stop = threading.Event()
+
+    def publish():
+        while not stop.is_set():
+            bus.send(geometry)
+            time.sleep(0.1)
+
+    threading.Thread(target=publish, daemon=True).start()
+
+    env = {**os.environ, "PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu"}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vision_processor_tpu.app.main", str(cfg_file)],
+        env=env, cwd=str(REPO),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        assert proc.wait(timeout=420) == 0
+        time.sleep(0.5)
+    finally:
+        stop.set()
+        if proc.poll() is None:
+            proc.kill()
+        bus.close()
+
+    assert len(bus.detections) == 6
+
+    # recall + position error vs exact ground truth, per frame
+    found_bots, total_bots, pos_errs = 0, 0, []
+    ball_found, ball_total = 0, 0
+    for det in bus.detections:
+        gt = truth[det.frame_number - 1]
+        gt_bots = [(b["robot_id"], b["x"], b["y"])
+                   for b in gt.get("robots_yellow", [])]
+        gt_bots += [(b["robot_id"] + 16, b["x"], b["y"])
+                    for b in gt.get("robots_blue", [])]
+        got = [(r.robot_id, r.x, r.y) for r in det.robots_yellow]
+        got += [(r.robot_id + 16, r.x, r.y) for r in det.robots_blue]
+        for rid, x, y in gt_bots:
+            total_bots += 1
+            match = [g for g in got if g[0] == rid]
+            if match:
+                found_bots += 1
+                pos_errs.append(
+                    float(np.hypot(match[0][1] - x, match[0][2] - y))
+                )
+        if gt.get("balls"):
+            ball_total += 1
+            if len(det.balls):
+                ball_found += 1
+
+    recall = found_bots / max(total_bots, 1)
+    assert recall >= min_bot_recall, (
+        f"{profile}: robot recall {recall:.2f} "
+        f"({found_bots}/{total_bots}), errs {pos_errs}"
+    )
+    assert ball_found / max(ball_total, 1) >= min_ball_recall, (
+        f"{profile}: ball recall {ball_found}/{ball_total}"
+    )
+    assert np.mean(pos_errs) < max_err, (
+        f"{profile}: mean position error {np.mean(pos_errs):.1f} mm"
+    )
