@@ -219,6 +219,75 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
+def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
+    """Device-resident N-frame loop over the camera mesh.
+
+    Each device scans its own camera's frames; after every frame the
+    detection summaries are all_gathered over ICI so the next frame's
+    tracked-bot search sees the whole fleet — the sustained form of the
+    reference's cross-camera tracking exchange
+    (reference src/udpsocket.cpp:204-256). Returns per-frame compact
+    outputs (tracked ids, validity, the gathered summary ids) so handoff
+    across camera boundaries is observable.
+    """
+
+    def per_device(bank, packed_cam, field_scale, field_offset, colors7, params):
+        # bank arrives (n_frames, 1, ...) — this camera's frame sequence
+        def body(gathered, raw):
+            tracked = tracked_from_summaries(
+                cfg.det, gathered, params["tracked_time_delta"]
+            )
+            _, det, summary = _single_cam_step(
+                cfg, raw[0], packed_cam[0], field_scale[0],
+                field_offset[0], colors7[0], tracked, params,
+            )
+            nxt = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, CAM_AXIS), summary
+            )
+            out = {
+                "bot_tracked_id": det["bot_tracked_id"][None],
+                "bot_valid": det["bot_valid"][None],
+                "bot_pos": det["bot_pos"][None],
+                "summary_id": nxt["id"],
+                "summary_pos": nxt["pos"],
+            }
+            return nxt, out
+
+        init = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, CAM_AXIS),
+            jax.tree.map(lambda x: x[0], _empty_summary_local(cfg)),
+        )
+        _, outs = jax.lax.scan(body, init, bank)
+        return outs
+
+    spec_cam = P(CAM_AXIS)
+    spec_frames_cam = P(None, CAM_AXIS)
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec_frames_cam, spec_cam, spec_cam, spec_cam, spec_cam, P()),
+        out_specs={
+            "bot_tracked_id": spec_frames_cam,
+            "bot_valid": spec_frames_cam,
+            "bot_pos": spec_frames_cam,
+            "summary_id": P(),
+            "summary_pos": P(),
+        },
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _empty_summary_local(cfg: MultiCamConfig) -> dict:
+    b = cfg.det.max_bots
+    return {
+        "pos": jnp.zeros((1, b, 2), dtype=jnp.float32),
+        "orientation": jnp.zeros((1, b), dtype=jnp.float32),
+        "score": jnp.zeros((1, b), dtype=jnp.float32),
+        "id": jnp.full((1, b), -1, dtype=jnp.int32),
+    }
+
+
 def empty_summary(cfg: MultiCamConfig) -> dict:
     b = cfg.det.max_bots
     n = cfg.n_cams
