@@ -71,8 +71,68 @@ def load_native(build: bool = True):
     lib.vptpu_mc_close.argtypes = [ctypes.c_void_p]
     lib.vptpu_monotonic_us.restype = ctypes.c_int64
 
+    lib.vptpu_h264_ipcm_encode.restype = ctypes.c_long
+    lib.vptpu_h264_ipcm_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
+
     _lib = lib
     return lib
+
+
+class H264Encoder:
+    """In-process H.264 encoder (native all-I_PCM baseline, lossless).
+
+    The reference auto-picks a hardware/x264 libav encoder
+    (reference src/rtpstreamer.cpp:62-93); this build carries its own
+    encoder in native/vptpu_native.cpp — every macroblock I_PCM, a fully
+    standard bitstream at raw-video bitrate, intended for the LAN debug
+    stream. Frames are padded to multiples of 16.
+    """
+
+    def __init__(self):
+        self._lib = load_native()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._scratch = None
+        self._out = None
+        self._idr = 0
+
+    def encode_i420(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
+        h, w = y.shape
+        assert w % 16 == 0 and h % 16 == 0, "pad to multiples of 16 first"
+        need = w * h * 2 + 131072
+        if self._scratch is None or self._scratch.size < need:
+            self._scratch = np.zeros(need, np.uint8)
+            self._out = np.zeros(need + need // 64, np.uint8)
+        y = np.ascontiguousarray(y)
+        u = np.ascontiguousarray(u)
+        v = np.ascontiguousarray(v)
+        n = self._lib.vptpu_h264_ipcm_encode(
+            y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h, self._idr,
+            self._scratch.ctypes.data, self._scratch.size,
+            self._out.ctypes.data, self._out.size,
+        )
+        if n <= 0:
+            raise RuntimeError(f"h264 encode failed ({n})")
+        self._idr ^= 1
+        return self._out[:n].tobytes()
+
+    def encode_rgb(self, rgb: np.ndarray) -> bytes:
+        """(H, W, 3) uint8 RGB -> one annex-B access unit (SPS+PPS+IDR)."""
+        import cv2
+
+        h, w = rgb.shape[:2]
+        wp, hp = -(-w // 16) * 16, -(-h // 16) * 16
+        if (wp, hp) != (w, h):
+            rgb = np.pad(rgb, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+        i420 = cv2.cvtColor(rgb[..., ::-1], cv2.COLOR_BGR2YUV_I420)
+        y = i420[:hp]
+        u = i420[hp:hp + hp // 4].reshape(hp // 2, wp // 2)
+        v = i420[hp + hp // 4:].reshape(hp // 2, wp // 2)
+        return self.encode_i420(y, u, v)
 
 
 def fourcc(code: str) -> int:

@@ -2,10 +2,15 @@
 
 The reference streams H.264 over RTP via ffmpeg with a dedicated encoder
 thread fed by a one-slot queue so encoding never stalls the pipeline
-(reference src/rtpstreamer.cpp:29-198). This environment carries no ffmpeg,
-so the default payload is RTP/JPEG (RFC 2435) packetized natively in Python
-with cv2's JPEG encoder — wire-standard and playable by ffplay/GStreamer/VLC —
-while an H.264 path via an external ffmpeg binary is used when available.
+(reference src/rtpstreamer.cpp:29-198). Encoder auto-pick, mirroring the
+reference's nvenc -> qsv -> vaapi -> libx264 cascade in this environment:
+
+1. the native in-process H.264 encoder (all-I_PCM baseline, lossless,
+   native/vptpu_native.cpp) packetized per RFC 6184 (single-NAL + FU-A),
+2. an external ffmpeg binary with libx264 when one exists,
+3. RTP/JPEG (RFC 2435) with cv2's JPEG encoder as the last resort.
+
+All paths are wire-standard and playable by ffplay/GStreamer/VLC.
 """
 from __future__ import annotations
 
@@ -23,7 +28,87 @@ from ..utils.log import get_logger
 log = get_logger(__name__)
 
 RTP_JPEG_PT = 26  # static payload type for JPEG (RFC 3551)
+RTP_H264_PT = 96  # dynamic payload type for H.264 (RFC 6184)
 MTU_PAYLOAD = 1400
+
+
+def split_annexb(stream: bytes):
+    """Yield NAL units (without start codes) from an annex-B byte stream."""
+    i = 0
+    n = len(stream)
+    starts = []
+    while i < n - 3:
+        if stream[i] == 0 and stream[i + 1] == 0:
+            if stream[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i < n - 4 and stream[i + 2] == 0 and stream[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    for k, (begin, payload) in enumerate(starts):
+        end = starts[k + 1][0] if k + 1 < len(starts) else n
+        yield stream[payload:end]
+
+
+def packetize_h264(access_unit: bytes, seq: int, ts: int, ssrc: int):
+    """RFC 6184 packets for one access unit; yields (packet, next_seq)."""
+    nals = list(split_annexb(access_unit))
+    for j, nal in enumerate(nals):
+        last_nal = j == len(nals) - 1
+
+        if len(nal) <= MTU_PAYLOAD:
+            header = struct.pack(
+                "!BBHII", 0x80, RTP_H264_PT | (0x80 if last_nal else 0),
+                seq & 0xFFFF, ts, ssrc,
+            )
+            yield header + nal
+            seq += 1
+            continue
+        # FU-A fragmentation
+        indicator = (nal[0] & 0x60) | 28
+        nal_type = nal[0] & 0x1F
+        body = nal[1:]
+        off = 0
+        while off < len(body):
+            chunk = body[off:off + MTU_PAYLOAD - 2]
+            first = off == 0
+            off += len(chunk)
+            final = off >= len(body)
+            fu_header = (0x80 if first else 0) | (0x40 if final else 0) | nal_type
+            pkt = struct.pack(
+                "!BBHII", 0x80,
+                RTP_H264_PT | (0x80 if (last_nal and final) else 0),
+                seq & 0xFFFF, ts, ssrc,
+            ) + bytes([indicator, fu_header]) + chunk
+            yield pkt
+            seq += 1
+
+
+def depacketize_h264(packets) -> bytes:
+    """Reassemble annex-B from RFC 6184 packets (test/monitor helper)."""
+    out = bytearray()
+    fu = bytearray()
+    for pkt in packets:
+        payload = pkt[12:]
+        if not payload:
+            continue
+        nal_type = payload[0] & 0x1F
+        if nal_type == 28:  # FU-A
+            fu_header = payload[1]
+            if fu_header & 0x80:  # start
+                fu = bytearray(
+                    [(payload[0] & 0x60) | (fu_header & 0x1F)]
+                )
+            fu.extend(payload[2:])
+            if fu_header & 0x40:  # end
+                out += b"\x00\x00\x00\x01" + fu
+                fu = bytearray()
+        else:
+            out += b"\x00\x00\x00\x01" + payload
+    return bytes(out)
 
 
 class _LatestSlot:
@@ -61,20 +146,37 @@ def _parse_rtp_url(url: str) -> tuple[str, int]:
 class RTPStreamer:
     """Encoder thread + RTP packetizer, ~30 fps pacing, latest frame only."""
 
-    def __init__(self, active: bool, url: str, framerate: float = 30.0):
+    def __init__(self, active: bool, url: str, framerate: float = 30.0,
+                 codec: str | None = None):
         self.active = active
         self.url = url
         self.framerate = framerate
         self._slot = _LatestSlot()
         self._seq = 0
         self._ssrc = np.random.randint(0, 2**31)
-        self._use_ffmpeg = shutil.which("ffmpeg") is not None
+        self._encoder = None
         self._proc = None
         self._sock = None
         self._thread = None
+        self.codec = codec or self._pick_codec()
         if active:
+            log.info("RTP streamer: %s via %s", url, self.codec)
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
+
+    def _pick_codec(self) -> str:
+        """native H.264 -> external ffmpeg x264 -> RTP/JPEG (mirrors the
+        reference's encoder cascade, reference src/rtpstreamer.cpp:62-93)."""
+        try:
+            from .native import H264Encoder
+
+            self._encoder = H264Encoder()
+            return "h264-native"
+        except Exception:
+            pass
+        if shutil.which("ffmpeg") is not None:
+            return "h264-ffmpeg"
+        return "jpeg"
 
     def send_frame(self, rgb: np.ndarray) -> None:
         """Offer an (H, W, 3) uint8 RGB frame; never blocks."""
@@ -102,7 +204,9 @@ class RTPStreamer:
                 continue
             t0 = time.monotonic()
             try:
-                if self._use_ffmpeg:
+                if self.codec == "h264-native":
+                    self._send_h264_native(frame, host, port)
+                elif self.codec == "h264-ffmpeg":
                     self._send_h264(frame)
                 else:
                     self._send_jpeg(frame, host, port)
@@ -170,6 +274,16 @@ class RTPStreamer:
             self._sock.sendto(header + jpeg_hdr + chunk, (host, port))
             self._seq += 1
             offset += len(chunk)
+
+    # -- H.264 via the native in-process encoder (RFC 6184) ------------------
+
+    def _send_h264_native(self, rgb: np.ndarray, host: str, port: int) -> None:
+        self._ensure_sock()
+        access_unit = self._encoder.encode_rgb(rgb)
+        ts = int(time.monotonic() * 90000) & 0xFFFFFFFF
+        for pkt in packetize_h264(access_unit, self._seq, ts, self._ssrc):
+            self._sock.sendto(pkt, (host, port))
+            self._seq += 1
 
     # -- H.264 via external ffmpeg ------------------------------------------
 
