@@ -202,6 +202,10 @@ class Processor:
         self._bm_cfg = BlobMachineConfig.from_perspective(
             self.perspective, fmt, raw_shape, max_blobs=self.config.max_blobs
         )
+        # note on buffer lifetime: the uint8 raw frame cannot alias any
+        # output (no dtype/shape-compatible result), so donation buys
+        # nothing — XLA frees the buffer right after the Bayer split reads
+        # it, which is already the minimal-footprint behavior
         self._step = jax.jit(partial(full_step, self._bm_cfg, self.det_cfg))
         self._debug_fn = None
         self._geom_key = key
