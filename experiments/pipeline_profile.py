@@ -54,7 +54,7 @@ def main():
 
     for max_blobs in (256, 2000):
         cfg, raws, packed, scales, offsets, colors, params = build_rig(
-            max_blobs=max_blobs)
+            max_blobs=max_blobs)[:7]
         bm = cfg.bm
         det_cfg = cfg.det
         raw = jnp.asarray(raws[0])

@@ -264,7 +264,11 @@ def test_rtp_jpeg_stream_smoke():
     recv.bind(("127.0.0.1", 19999))
     recv.settimeout(2.0)
 
-    streamer = RTPStreamer(True, "rtp://127.0.0.1:19999", framerate=30.0)
+    # force the JPEG fallback path; the default cascade now picks the
+    # native H.264 encoder (covered by tests/test_h264.py)
+    streamer = RTPStreamer(
+        True, "rtp://127.0.0.1:19999", framerate=30.0, codec="jpeg"
+    )
     try:
         frame = np.zeros((64, 96, 3), dtype=np.uint8)
         frame[:, :48] = [255, 0, 0]

@@ -103,31 +103,49 @@ def _rotate(c, s, v):
     return jnp.stack([x, y], axis=-1)
 
 
+_PAIR_COS = np.cos(_PAIR_ANGLE).astype(np.float32)
+_PAIR_SIN = np.sin(_PAIR_ANGLE).astype(np.float32)
+
+
 def score_hypotheses(pos5, valid5):
     """Score a batch of 5-blob constellations.
 
     pos5: (..., 5, 2) blob field positions (slot 0 = center blob),
     valid5: (..., 5) slot occupancy.
-    Returns (orientation, pos, offset_score, blob_amount) with reference
-    semantics (reference src/blobs/hypothesis.cpp:156-205): orientation from
-    pairwise angle deltas vs the pattern table, position as the mean of
-    back-rotated blob offsets, offset score min over slots of
-    1 / (1 + |offset/10mm|^2).
+    Returns (c, s, pos, offset_score, blob_amount) with reference semantics
+    (reference src/blobs/hypothesis.cpp:156-205): (c, s) is the unit
+    orientation vector (cos, sin) accumulated from pairwise angle deltas vs
+    the pattern table, position the mean of back-rotated blob offsets,
+    offset score min over slots of 1 / (1 + |offset/10mm|^2).
+
+    The angle itself (atan2) is never formed here: per pair,
+    cos/sin(atan2(dy,dx) - pair_angle) == (dx*ca + dy*sa, dy*ca - dx*sa)/r
+    with static (ca, sa) per pair — pure mul/add + rsqrt on the VPU instead
+    of three transcendentals per combo pair (the dominant detector cost at
+    ~2M pairs per frame-set). Callers recover the angle with one atan2 on
+    the selected winner only.
     """
     pa = pos5[..., _PAIR_A, :]
     pb = pos5[..., _PAIR_B, :]
     pair_valid = valid5[..., _PAIR_A] & valid5[..., _PAIR_B]
     diff = pb - pa
-    delta = jnp.arctan2(diff[..., 1], diff[..., 0]) - _PAIR_ANGLE
-    o_sin = jnp.sum(jnp.where(pair_valid, jnp.sin(delta), 0.0), axis=-1)
-    o_cos = jnp.sum(jnp.where(pair_valid, jnp.cos(delta), 0.0), axis=-1)
+    r2 = jnp.sum(diff * diff, axis=-1)
+    # coincident blobs (r2 == 0) contribute nothing; such pairs are either
+    # masked (tracked distinctness) or belong to degenerate combos that
+    # cannot win on offset score
+    inv_r = jnp.where(pair_valid & (r2 > 0.0), jax.lax.rsqrt(r2), 0.0)
+    dx = diff[..., 0] * inv_r
+    dy = diff[..., 1] * inv_r
+    o_cos = jnp.sum(dx * _PAIR_COS + dy * _PAIR_SIN, axis=-1)
+    o_sin = jnp.sum(dy * _PAIR_COS - dx * _PAIR_SIN, axis=-1)
 
     blob_amount = jnp.sum(valid5, axis=-1)
-    orientation = jnp.where(
-        blob_amount > 1, jnp.arctan2(o_sin, o_cos), 0.0
-    )
+    norm2 = o_cos * o_cos + o_sin * o_sin
+    ok = (blob_amount > 1) & (norm2 > 0.0)
+    inv_n = jnp.where(ok, jax.lax.rsqrt(jnp.maximum(norm2, 1e-30)), 0.0)
+    c = jnp.where(ok, o_cos * inv_n, 1.0)
+    s = o_sin * inv_n
 
-    c, s = _rot2(orientation)
     pattern = jnp.asarray(PATTERN_POS)  # (5, 2)
     rotated = _rotate(c[..., None], s[..., None], pattern)  # (..., 5, 2)
     offsets = pos5 - rotated
@@ -141,7 +159,7 @@ def score_hypotheses(pos5, valid5):
         jnp.where(valid5, slot_score, jnp.inf), axis=-1
     )
     offset_score = jnp.where(jnp.isfinite(offset_score), offset_score, 1.0)
-    return orientation, pos, offset_score, blob_amount
+    return c, s, pos, offset_score, blob_amount
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +235,7 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     pos5 = jnp.concatenate([center, side_pos], axis=-2)  # (A, C, 5, 2)
     valid5 = jnp.ones(pos5.shape[:-1], dtype=bool)
 
-    orientation, pos, offset_score, _ = score_hypotheses(pos5, valid5)
+    c, s, pos, offset_score, _ = score_hypotheses(pos5, valid5)
     score = jnp.where(combo_ok, offset_score, 0.0)
 
     best = jnp.argmax(score, axis=-1)  # (A,)
@@ -225,7 +243,8 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
         arr, best.reshape(-1, *([1] * (arr.ndim - 1))), axis=1
     ).squeeze(1)
     best_score = take(score)
-    best_orient = take(orientation)
+    # one atan2 per anchor, on the winning combo only
+    best_orient = jnp.arctan2(take(s), take(c))
     best_pos = take(pos)
     best_sides = take(side_idx)  # (A, 4)
 
@@ -303,30 +322,35 @@ def tracked_hypotheses(
     _, cand_idx = jax.lax.top_k(cand_score, m)  # (T, 5, M)
     cand_valid = jnp.take_along_axis(cand_ok, cand_idx, axis=2)
 
-    combos = jnp.asarray(tracked_combo_table(m + 1))  # (Ct, 5), m == null
-    n_combo = combos.shape[0]
+    combos_np = tracked_combo_table(m + 1)  # (Ct, 5), m == null
+    n_combo = combos_np.shape[0]
 
-    # choice per combo/slot: global blob index or -1 for null
+    # Expand per-slot candidate tables to all combos with static
+    # (m+1)-way selects: the combo table is a compile-time constant, so
+    # each slot's choice is a chain of m `where`s over tiny (T, 5, ...)
+    # candidate tables — pure VPU selects instead of the (T, Ct, 5, M)
+    # broadcast gathers + (T*Ct*5)-index blob gathers, which dominated the
+    # detector cost (gather cost scales with index count on TPU).
     slot_range = jnp.arange(5)
-    chose = combos[None, :, :]  # (1, Ct, 5)
-    cand_idx_b = cand_idx[:, None, :, :]  # (T, 1, 5, M)
-    cand_valid_b = cand_valid[:, None, :, :]
+    cand_pos = blob_pos[cand_idx]  # (T, 5, M, 2) — 5*M*T indices only
+    pick = [
+        jnp.asarray(combos_np == mi)[None, :, :] for mi in range(m)
+    ]  # m x (1, Ct, 5)
 
-    is_null = chose == m
-    safe_choice = jnp.minimum(chose, m - 1)
-    gidx = jnp.take_along_axis(
-        jnp.broadcast_to(cand_idx_b, (t, n_combo, 5, m)),
-        safe_choice[..., None],
-        axis=-1,
-    ).squeeze(-1)  # (T, Ct, 5)
-    gvalid = (
-        jnp.take_along_axis(
-            jnp.broadcast_to(cand_valid_b, (t, n_combo, 5, m)),
-            safe_choice[..., None],
-            axis=-1,
-        ).squeeze(-1)
-        & ~is_null
-    )
+    def expand(tab, null_val):
+        """tab (T, 5, M[, D]) -> (T, Ct, 5[, D]): tab[..., chose], with the
+        null choice (chose == m) mapped to null_val."""
+        trailing = tab.ndim == 4
+        out = jnp.full(
+            (t, n_combo, 5) + tab.shape[3:], null_val, tab.dtype
+        )
+        for mi in range(m):
+            p = pick[mi][..., None] if trailing else pick[mi]
+            out = jnp.where(p, tab[:, None, :, mi], out)
+        return out
+
+    gidx = expand(cand_idx, -1)  # (T, Ct, 5); -1 on null slots
+    gvalid = expand(cand_valid, False)
 
     # distinctness: no blob used twice (reference skips those combos)
     eq = (gidx[..., :, None] == gidx[..., None, :]) & (
@@ -335,10 +359,14 @@ def tracked_hypotheses(
     eq = eq & ~jnp.eye(5, dtype=bool)
     distinct = ~jnp.any(eq, axis=(-2, -1))
 
-    pos5 = blob_pos[gidx]  # (T, Ct, 5, 2)
-    orientation, pos, offset_score, blob_amount = score_hypotheses(pos5, gvalid)
+    pos5 = expand(cand_pos, 0.0)  # (T, Ct, 5, 2); masked by gvalid below
+    oc, os_, pos, offset_score, blob_amount = score_hypotheses(pos5, gvalid)
 
-    rot_off = _remainder_2pi(orientation - pred_w[:, None]) / math.pi
+    # remainder_2pi(orientation - pred_w) == atan2 of the relative rotation
+    # (c, s) x (cw, sw); exact up to the +/-pi boundary, where rot_off is
+    # squared anyway
+    cw, sw = _rot2(pred_w[:, None])
+    rot_off = jnp.arctan2(os_ * cw - oc * sw, oc * cw + os_ * sw) / math.pi
     delta = (pos - pred_xy[:, None, :]) / 10.0
     offset_score = offset_score / (
         1.0 + jnp.sum(delta * delta, axis=-1) + rot_off * rot_off
@@ -358,10 +386,12 @@ def tracked_hypotheses(
     expected = jnp.where(center_slot, exp_center, exp_side)  # (T, 5, 3)
     opposite = jnp.where(center_slot, opp_center, opp_side)
 
-    bc = blob_color[gidx]  # (T, Ct, 5, 3)
-    d_exp = jnp.sum((bc - expected[:, None]) ** 2, axis=-1)
-    d_opp = jnp.sum((bc - opposite[:, None]) ** 2, axis=-1)
-    veto = jnp.any(gvalid & (d_opp - d_exp <= 0.0), axis=-1)  # (T, Ct)
+    # veto bit per (tracked, slot, candidate) — tiny — then combo-expanded
+    cand_col = blob_color[cand_idx]  # (T, 5, M, 3)
+    d_exp = jnp.sum((cand_col - expected[:, :, None]) ** 2, axis=-1)
+    d_opp = jnp.sum((cand_col - opposite[:, :, None]) ** 2, axis=-1)
+    veto_bit = cand_valid & (d_opp - d_exp <= 0.0)  # (T, 5, M)
+    veto = jnp.any(expand(veto_bit, False), axis=-1)  # (T, Ct)
 
     score = jnp.where(
         distinct
@@ -380,7 +410,7 @@ def tracked_hypotheses(
     blob_idx = jnp.where(take(gvalid), take(gidx), -1).astype(jnp.int32)
     return {
         "score": take(score),
-        "orientation": take(orientation),
+        "orientation": jnp.arctan2(take(os_), take(oc)),
         "pos": take(pos),
         "blob_idx": blob_idx,
         "tracked_id": tid,
