@@ -225,7 +225,10 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
     import jax.numpy as jnp
 
     from vision_processor_tpu.app.processor import TrackedArrays
-    from vision_processor_tpu.parallel.multicam import batched_step_host_tracked
+    from vision_processor_tpu.parallel.multicam import (
+        batched_step_host_tracked,
+        make_resample_grids,
+    )
 
     step = batched_step_host_tracked(cfg)
     procs, socks = build_processors(cfg, cams, geometry)
@@ -233,6 +236,10 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
     packed_d = jax.device_put(packed)
     scales_d = jax.device_put(scales)
     offsets_d = jax.device_put(offsets)
+    # frame-invariant sampling geometry (cached across frames in production)
+    grids = make_resample_grids(
+        cfg, packed, float(params["max_bot_height"]), scales, offsets
+    )
     bank = [np.roll(raws, (2 * i, 4 * i), axis=(1, 2)) for i in range(4)]
 
     def colors_now():
@@ -246,7 +253,7 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
     def dispatch(i, now):
         raw_d = jnp.asarray(bank[i % 4])
         return step(raw_d, packed_d, scales_d, offsets_d, colors_now(),
-                    tracked_now(now), params)
+                    tracked_now(now), params, grids)
 
     def finish(out, now):
         blobs, det = jax.device_get(out)

@@ -70,6 +70,13 @@ def main():
                 pp, cam, params["max_bot_height"], fs, fo,
                 bm.flat_shape, bm.fmt)
 
+        grid0 = bm.make_resample_grid(np.asarray(cam), 150.0,
+                                      field_scale=fs, field_offset=fo)
+
+        def stage_resample_grid(raw, grid=grid0):
+            pp = F.raw2planes_packed(raw, bm.fmt)
+            return F.resample_flat_grid(pp, grid, bm.fmt)
+
         def stage_grad(raw):
             return B.gradient_dot(stage_resample(raw), bm.grad_offset)
 
@@ -94,6 +101,7 @@ def main():
             return d
 
         timeit(stage_resample, (raw,), "resample (incl. stack build)")
+        timeit(stage_resample_grid, (raw,), "resample via cached grid")
         timeit(stage_grad, (raw,), "+ gradient_dot")
         timeit(stage_sat_circ, (raw,), "+ SAT + circularity")
         timeit(stage_blobs, (raw,), "+ extract_blobs (disc stats, top_k)")

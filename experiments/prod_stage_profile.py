@@ -1,0 +1,169 @@
+"""Tight cumulative per-stage profile of the production (grid-cached) step."""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from bench import build_rig
+from vision_processor_tpu.models.detector import detect
+from vision_processor_tpu.ops import blob as B
+from vision_processor_tpu.ops import frame as F
+from vision_processor_tpu.parallel import multicam as M
+
+
+def timeit(fn, args, tag, n_lo=8, n_hi=40, reps=3):
+    def make(n):
+        def scan_fn(raw0, *rest):
+            def body(carry, _):
+                out = fn(carry, *rest)
+                leaves = jax.tree.leaves(out)
+                bump = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+                nxt = jnp.roll(carry, 2, axis=0)
+                return nxt, bump
+            return jax.lax.scan(body, raw0, None, length=n)
+        return jax.jit(scan_fn)
+
+    best = []
+    fns = {n: make(n) for n in (n_lo, n_hi)}
+    for n in (n_lo, n_hi):
+        out = fns[n](*args); jax.block_until_ready(out)
+    for _ in range(reps):
+        times = {}
+        for n in (n_lo, n_hi):
+            t0 = time.perf_counter()
+            out = fns[n](*args); jax.block_until_ready(out)
+            times[n] = time.perf_counter() - t0
+        best.append((times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1e3)
+    ms = min(best)
+    print(f"{tag:52s} {ms:8.3f} ms   (runs: {', '.join(f'{b:.3f}' for b in best)})")
+    return ms
+
+
+def main():
+    _ = np.asarray(jnp.ones((8, 128)) * 2)
+
+    cfg, raws, packed, scales, offsets, colors, params = build_rig(
+        max_blobs=2000)[:7]
+    bm = cfg.bm
+    det_cfg = cfg.det
+    raw = jnp.asarray(raws[0])
+    cam = jnp.asarray(packed[0])
+    fs = jnp.float32(scales[0])
+    fo = jnp.asarray(offsets[0])
+    col = jnp.asarray(colors[0])
+    grid = bm.make_resample_grid(np.asarray(packed[0]), 150.0,
+                                 field_scale=fs, field_offset=fo)
+    print(f"--- grid-cached production stages, max_blobs={bm.max_blobs} ---")
+
+    def s_resample(raw):
+        return F.resample_flat_grid(F.raw2planes_packed(raw, bm.fmt), grid, bm.fmt)
+
+    def s_grad(raw):
+        return B.gradient_dot(s_resample(raw), bm.grad_offset)
+
+    def s_sat(raw):
+        return B.summed_area_table(s_grad(raw))
+
+    def s_circ(raw):
+        return B.circularity(s_sat(raw), bm.sat_radius)
+
+    def s_blobs(raw):
+        flat = s_resample(raw)
+        grad = B.gradient_dot(flat, bm.grad_offset)
+        circ = B.circularity(B.summed_area_table(grad), bm.sat_radius)
+        return B.extract_blobs(flat, circ, params["min_circularity"],
+                               jnp.float32(0.0), radius=bm.disc_radius,
+                               max_blobs=bm.max_blobs)
+
+    def s_full(raw):
+        blobs = s_blobs(raw)
+        blobs = {**blobs, "field_pos": blobs["pos"] * fs + fo}
+        tracked = M.tracked_from_summaries(
+            det_cfg, M.empty_summary(cfg), params["tracked_time_delta"])
+        return detect(det_cfg, blobs, tracked, col[:6], cam, params)
+
+    timeit(s_resample, (raw,), "resample (cached grid)")
+    timeit(s_grad, (raw,), "+ gradient_dot")
+    timeit(s_sat, (raw,), "+ SAT")
+    timeit(s_circ, (raw,), "+ circularity")
+    timeit(s_blobs, (raw,), "+ extract_blobs")
+    timeit(s_full, (raw,), "+ detector")
+
+
+if __name__ == "__main__" and len(sys.argv) == 1:
+    main()
+
+
+def main_extract():
+    """Sub-stages inside extract_blobs (grid-cached pipeline context)."""
+    _ = np.asarray(jnp.ones((8, 128)) * 2)
+
+    cfg, raws, packed, scales, offsets, colors, params = build_rig(
+        max_blobs=2000)[:7]
+    bm = cfg.bm
+    raw = jnp.asarray(raws[0])
+    fs = jnp.float32(scales[0])
+    fo = jnp.asarray(offsets[0])
+    grid = bm.make_resample_grid(np.asarray(packed[0]), 150.0,
+                                 field_scale=fs, field_offset=fo)
+    print(f"--- extract_blobs sub-stages, max_blobs={bm.max_blobs}, "
+          f"disc_radius={bm.disc_radius} ---")
+
+    def s_circ(raw):
+        flat = F.resample_flat_grid(F.raw2planes_packed(raw, bm.fmt), grid, bm.fmt)
+        grad = B.gradient_dot(flat, bm.grad_offset)
+        return flat, B.circularity(B.summed_area_table(grad), bm.sat_radius)
+
+    def s_disc(raw):
+        flat, circ = s_circ(raw)
+        s1, s2, n = B.disc_stats_sat(flat, bm.disc_radius)
+        return s1, s2, circ
+
+    def s_score(raw):
+        flat, circ = s_circ(raw)
+        s1, s2, n = B.disc_stats_sat(flat, bm.disc_radius)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
+        score = circ / jnp.maximum(stddev_sum, 1e-12)
+        valid = ((circ >= params["min_circularity"]) & B.local_max_mask(circ)
+                 & (score >= 0.0))
+        return jnp.where(valid, score, -jnp.inf), mean, circ
+
+    def s_rowtopk(raw):
+        masked, mean, circ = s_score(raw)
+        m = min(masked.shape[1], max(16, -(-4 * bm.max_blobs // masked.shape[0])))
+        return jax.lax.top_k(masked, m)
+
+    def s_fulltopk(raw):
+        masked, mean, circ = s_score(raw)
+        h, w = masked.shape
+        m = min(w, max(16, -(-4 * bm.max_blobs // h)))
+        row_scores, row_idx = jax.lax.top_k(masked, m)
+        cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
+        top_scores, ci = jax.lax.top_k(row_scores.reshape(-1), bm.max_blobs)
+        return top_scores, cand_idx[ci]
+
+    def s_extract(raw):
+        flat, circ = s_circ(raw)
+        return B.extract_blobs(flat, circ, params["min_circularity"],
+                               jnp.float32(0.0), radius=bm.disc_radius,
+                               max_blobs=bm.max_blobs)
+
+    timeit(s_circ, (raw,), "to circularity")
+    timeit(s_disc, (raw,), "+ disc_stats_sat")
+    timeit(s_score, (raw,), "+ mean/var/score/valid maps")
+    timeit(s_rowtopk, (raw,), "+ row top_k")
+    timeit(s_fulltopk, (raw,), "+ global top_k")
+    timeit(s_extract, (raw,), "+ slot gathers (full extract)")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "extract":
+    main_extract()

@@ -83,3 +83,63 @@ def test_pipeline_blobs_match(setup):
     for p in pe:
         d = np.linalg.norm(pf - p, axis=-1).min()
         assert d < 8.0, (p, d)
+
+
+def test_grid_cache_matches_packed(setup):
+    """The cached-projection path must be (near-)bit-identical to the
+    packed sampler: same gather indices, same weights up to fp op order."""
+    persp, raw = setup
+    import jax.numpy as jnp
+
+    hf = int(persp.reprojected_field_size[1])
+    wf = int(persp.reprojected_field_size[0])
+    packed_cam = jnp.asarray(persp.model.packed())
+    offset = (
+        float(persp.visible_field_extent[0]),
+        float(persp.visible_field_extent[2]),
+    )
+
+    packed = F.raw2planes_packed(jnp.asarray(raw), "RGGB")
+    fast = np.asarray(
+        F.resample_flat_packed(
+            packed, packed_cam, jnp.float32(MAXH), persp.field_scale,
+            offset, (hf, wf), "RGGB",
+        )
+    )
+    grid = F.resample_grid(
+        packed_cam, jnp.float32(MAXH), persp.field_scale, offset,
+        (hf, wf), packed.shape[:2],
+    )
+    cached = np.asarray(F.resample_flat_grid(packed, grid, "RGGB"))
+    assert np.max(np.abs(fast - cached)) < 1e-3
+
+
+def test_grid_cache_through_blob_machine(setup):
+    """blob_machine(rs_grid=...) finds identical blobs to the inline path."""
+    persp, raw = setup
+    import jax
+
+    from vision_processor_tpu.ops.pipeline import blob_machine
+
+    cfg = BlobMachineConfig.from_perspective(persp, "RGGB", raw.shape, max_blobs=32)
+    packed_cam = persp.model.packed()
+    grid = cfg.make_resample_grid(packed_cam, MAXH)
+
+    import jax.numpy as jnp
+
+    base = jax.jit(lambda r: blob_machine(
+        cfg, r, jnp.asarray(packed_cam), jnp.float32(MAXH), jnp.float32(15.0)
+    ))(raw)
+    cached = jax.jit(lambda r, g: blob_machine(
+        cfg, r, jnp.asarray(packed_cam), jnp.float32(MAXH), jnp.float32(15.0),
+        rs_grid=g,
+    ))(raw, grid)
+
+    vb = np.asarray(base["valid"])
+    vc = np.asarray(cached["valid"])
+    assert (vb == vc).all()
+    np.testing.assert_allclose(
+        np.asarray(base["field_pos"])[vb],
+        np.asarray(cached["field_pos"])[vc],
+        atol=0.05,
+    )

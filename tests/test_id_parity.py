@@ -80,3 +80,42 @@ def test_tracked_ids_passthrough():
         colors.packed().astype(np.float32))))
     assert got[0] == 7
     assert got[2] == 22
+
+
+def test_kmeans2_batch_matches_scalar():
+    """Batched host 2-means must reproduce the scalar guarded semantics."""
+    import numpy as np
+
+    from vision_processor_tpu.models.kmeans import kmeans2, kmeans2_batch
+
+    rng = np.random.default_rng(7)
+    B = 300
+    contrast = rng.integers(0, 256, (B, 3))
+    vals = rng.integers(0, 256, (B, 4, 3))
+    # include degenerate rows: all-equal values, duplicated points
+    vals[0] = vals[0, 0]
+    vals[1, 1] = vals[1, 0]
+    c1 = np.array([0, 255, 128])
+    c2 = np.array([255, 0, 128])
+
+    ok_b, g_b, p_b = kmeans2_batch(contrast, vals, c1, c2)
+    for i in range(B):
+        ok_s, g_s, p_s = kmeans2(contrast[i], list(vals[i]), c1, c2)
+        assert ok_s == bool(ok_b[i]), i
+        np.testing.assert_array_equal(g_s, g_b[i], err_msg=f"row {i}")
+        np.testing.assert_array_equal(p_s, p_b[i], err_msg=f"row {i}")
+
+
+def test_calc_bot_ids_batch_matches_scalar():
+    import numpy as np
+
+    from vision_processor_tpu.models.colors import ColorState
+    from vision_processor_tpu.models.host_detect import calc_bot_id, calc_bot_ids
+
+    rng = np.random.default_rng(3)
+    colors = ColorState()
+    B = 64
+    blob_colors = rng.integers(0, 256, (B, 5, 3))
+    ids = calc_bot_ids(colors, blob_colors)
+    for i in range(B):
+        assert int(ids[i]) == calc_bot_id(colors, list(blob_colors[i])), i

@@ -135,8 +135,20 @@ class MultiCamApp:
             for p in self.processors
         ])
         colors = np.stack([p.colors.packed() for p in self.processors])
+
+        # frame-invariant sampling geometry, cached on calibration change
+        from ..parallel.multicam import make_resample_grids
+
+        maxh = float(self.processors[0].max_bot_height)
+        grid_key = (self._geom_key, packed.tobytes(), maxh)
+        if getattr(self, "_grid_key", None) != grid_key:
+            self._grids = make_resample_grids(
+                self.mc_cfg, packed, maxh, scales, offsets
+            )
+            self._grid_key = grid_key
+
         return (jnp.asarray(packed), jnp.asarray(scales),
-                jnp.asarray(offsets), jnp.asarray(colors))
+                jnp.asarray(offsets), jnp.asarray(colors), self._grids)
 
     def step_frames(self, frames, now: float):
         """One batched device step + per-camera host finishing."""
@@ -145,7 +157,7 @@ class MultiCamApp:
         raws = np.stack([f.data for f in frames])
         if not self._ensure_step(fmt, raws.shape[1:]):
             return None
-        packed, scales, offsets, colors = self._device_inputs()
+        packed, scales, offsets, colors, grids = self._device_inputs()
 
         # fleet tracking state from the wire (all sockets see all cameras)
         tracked = TrackedArrays.build(
@@ -155,7 +167,7 @@ class MultiCamApp:
         p0 = self.processors[0]
         blobs, det = self._step(
             jnp.asarray(raws), packed, scales, offsets, colors,
-            tracked.as_dict(), p0.params(),
+            tracked.as_dict(), p0.params(), grids,
         )
 
         wrappers = []

@@ -27,10 +27,11 @@ from ..utils.log import get_logger
 log = get_logger(__name__)
 
 def full_step(bm_cfg: BlobMachineConfig, det_cfg: DetectorConfig, raw, packed_cam,
-              colors7, tracked, params):
+              colors7, tracked, params, rs_grid=None):
     """blob machine + hypothesis search, one device program."""
     blobs = blob_machine(
-        bm_cfg, raw, packed_cam, params["max_bot_height"], params["min_circularity"]
+        bm_cfg, raw, packed_cam, params["max_bot_height"],
+        params["min_circularity"], rs_grid=rs_grid,
     )
     det = detect(det_cfg, blobs, tracked, colors7[:6], packed_cam, params)
     out_blobs = {
@@ -138,6 +139,8 @@ class Processor:
         self._debug_fn = None
         self._bm_cfg = None
         self._geom_key = None
+        self._grid = None
+        self._grid_key = None
         self.frame_id = 0
 
     def apply_tunables(self) -> None:
@@ -231,6 +234,19 @@ class Processor:
             "ball_radius": jnp.float32(field.ball_radius or 21.5),
         }
 
+    def _resample_grid(self):
+        """Frame-invariant sampling geometry, recomputed on calibration /
+        bot-height change only (the projection is the most expensive part
+        of resampling and never changes between frames)."""
+        packed = self.perspective.model.packed()
+        key = (self._geom_key, packed.tobytes(), float(self.max_bot_height))
+        if self._grid_key != key:
+            self._grid = self._bm_cfg.make_resample_grid(
+                packed, self.max_bot_height
+            )
+            self._grid_key = key
+        return self._grid
+
     def device_step(self, raw: np.ndarray, fmt: str, tracked: TrackedArrays):
         """Dispatch the jitted step; returns device arrays (async)."""
         self._ensure_step(fmt, tuple(raw.shape))
@@ -240,6 +256,7 @@ class Processor:
             jnp.asarray(self.colors.packed()),
             tracked.as_dict(),
             self.params(),
+            self._resample_grid(),
         )
 
     def finish_frame(self, device_out, t_capture: float, t_capture_camera: float = 0.0):

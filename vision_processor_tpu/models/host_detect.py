@@ -15,7 +15,7 @@ import numpy as np
 
 from ..proto import SSL_DetectionFrame
 from .colors import ColorState
-from .kmeans import kmeans2
+from .kmeans import kmeans2, kmeans2_batch
 from .pattern import PATTERN_LUT
 
 _SQ = lambda v: float(np.dot(v, v))
@@ -54,6 +54,25 @@ def calc_bot_id(colors: ColorState, blob_colors) -> int:
             bits |= 1 << (3 - i)
     team_blue = _SQ(center - colors.blue) < _SQ(center - colors.yellow)
     return (16 if team_blue else 0) + int(PATTERN_LUT[bits])
+
+
+def calc_bot_ids(colors: ColorState, blob_colors5: np.ndarray) -> np.ndarray:
+    """Batched ``calc_bot_id`` over (B, 5, 3) full constellations — same
+    guarded 2-means + green/pink split + team color, one numpy pass."""
+    c5 = np.asarray(blob_colors5, dtype=np.int64)
+    center = c5[:, 0]
+    sides = c5[:, 1:5]
+    _, green, pink = kmeans2_batch(center, sides, colors.green, colors.pink)
+
+    d_g = np.sum((sides - green[:, None, :]) ** 2, axis=-1)
+    d_p = np.sum((sides - pink[:, None, :]) ** 2, axis=-1)
+    bits = (d_g < d_p).astype(np.int64)
+    mask = bits[:, 0] * 8 + bits[:, 1] * 4 + bits[:, 2] * 2 + bits[:, 3]
+    base = np.asarray(PATTERN_LUT, dtype=np.int64)[mask]
+    team_blue = np.sum((center - colors.blue) ** 2, axis=-1) < np.sum(
+        (center - colors.yellow) ** 2, axis=-1
+    )
+    return base + np.where(team_blue, 16, 0)
 
 
 def ball_color_score(colors: ColorState, blob_color: np.ndarray) -> float:
@@ -156,10 +175,23 @@ class HostDetector:
             )
             if bot.tracked_id >= 0:
                 bot.bot_id = bot.tracked_id
-            else:
-                bot.bot_id = calc_bot_id(self.colors, blob_colors)
             bots.append(bot)
+        self._assign_ids(bots)
         return bots
+
+    def _assign_ids(self, bots) -> None:
+        """Batched id assignment for detection-hypothesis bots (tracked bots
+        keep their id). Detection constellations always carry 5 blobs."""
+        fresh = [
+            b for b in bots
+            if b.tracked_id < 0 and all(c is not None for c in b.blob_colors)
+        ]
+        if fresh:
+            ids = calc_bot_ids(
+                self.colors, np.stack([np.stack(b.blob_colors) for b in fresh])
+            )
+            for b, i in zip(fresh, ids):
+                b.bot_id = int(i)
 
     def build_balls(self, det: dict, blobs: dict) -> list[BallDetection]:
         keep = np.flatnonzero(blobs["valid"] & ~det["ball_clipped"])
@@ -197,11 +229,9 @@ class HostDetector:
 
     def recalc_post_color(self, bots, balls) -> None:
         for bot in bots:
-            if bot.tracked_id >= 0:
-                if tracked_color_veto(self.colors, bot):
-                    bot.score = 0.0
-            else:
-                bot.bot_id = calc_bot_id(self.colors, bot.blob_colors)
+            if bot.tracked_id >= 0 and tracked_color_veto(self.colors, bot):
+                bot.score = 0.0
+        self._assign_ids(bots)  # re-derive detection ids with updated colors
         if balls:
             scores = ball_color_scores(
                 self.colors, np.stack([b.blob_color for b in balls])

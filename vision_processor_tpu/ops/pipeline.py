@@ -21,6 +21,10 @@ from ..models.perspective import Perspective
 from . import blob as B
 from . import frame as F
 
+_resample_grid_jit = jax.jit(
+    F.resample_grid, static_argnames=("out_shape", "plane_shape")
+)
+
 
 @dataclass(frozen=True)
 class BlobMachineConfig:
@@ -39,6 +43,30 @@ class BlobMachineConfig:
     # exact per-plane quarter-pixel bilinear (16 gathers) vs the packed
     # single-cell sampler (4 gathers, <=0.25 px boundary approximation)
     exact_resample: bool = False
+
+    @property
+    def plane_shape(self) -> tuple[int, int]:
+        """Shape of the channel-packed half-resolution planes."""
+        if self.fmt == F.BGR:
+            return (self.raw_shape[0], self.raw_shape[1])
+        return (self.raw_shape[0] // 2, self.raw_shape[1] // 2)
+
+    def make_resample_grid(
+        self, packed_cam, max_bot_height, field_scale=None, field_offset=None
+    ):
+        """Precompute the frame-invariant sampling geometry (device arrays).
+
+        Call once per calibration / bot-height change and pass the result to
+        ``blob_machine(..., rs_grid=...)``.
+        """
+        return _resample_grid_jit(
+            jnp.asarray(packed_cam, dtype=jnp.float32),
+            jnp.float32(max_bot_height),
+            self.field_scale if field_scale is None else field_scale,
+            self.field_offset if field_offset is None else field_offset,
+            out_shape=self.flat_shape,
+            plane_shape=self.plane_shape,
+        )
 
     @classmethod
     def from_perspective(
@@ -82,12 +110,15 @@ def blob_machine(
     circ_threshold: jnp.ndarray,
     field_scale=None,
     field_offset=None,
+    rs_grid=None,
 ):
     """Full frame -> blobs graph. Returns a dict of blob slots (+ debug maps).
 
     Blob positions are in field mm (flat2field applied in-graph).
     field_scale / field_offset default to the static config values; pass
     traced per-camera values to batch cameras with differing geometry.
+    rs_grid: optional precomputed sampling geometry (F.resample_grid) —
+    skips the per-pixel camera projection, which is frame-invariant.
     """
     if field_scale is None:
         field_scale = cfg.field_scale
@@ -103,6 +134,10 @@ def blob_machine(
             field_offset,
             cfg.flat_shape,
             cfg.fmt,
+        )
+    elif rs_grid is not None:
+        flat = F.resample_flat_grid(
+            F.raw2planes_packed(raw, cfg.fmt), rs_grid, cfg.fmt
         )
     else:
         packed_planes = F.raw2planes_packed(raw, cfg.fmt)

@@ -45,6 +45,7 @@ def _single_cam_step(
     colors7,
     tracked,
     params,
+    rs_grid=None,
 ):
     """One camera's frame -> (blob slots, detection summary)."""
     blobs = blob_machine(
@@ -55,6 +56,7 @@ def _single_cam_step(
         params["min_circularity"],
         field_scale=field_scale,
         field_offset=field_offset,
+        rs_grid=rs_grid,
     )
     det = detect(cfg.det, blobs, tracked, colors7[:6], packed_cam, params)
     bot_id = estimate_bot_ids(det, blobs["color"], colors7)
@@ -109,14 +111,56 @@ def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta):
 # ---------------------------------------------------------------------------
 
 
+def resample_grids_traced(
+    cfg: MultiCamConfig, packed_cams, max_bot_height, field_scales, field_offsets
+):
+    """In-graph stacked per-camera sampling geometry (leading cam axis).
+
+    jit-compatible (all inputs may be traced); unrolled over cameras like
+    the step itself.
+    """
+    from ..ops import frame as F
+
+    grids = [
+        F.resample_grid(
+            packed_cams[c],
+            max_bot_height,
+            field_scales[c],
+            field_offsets[c],
+            cfg.bm.flat_shape,
+            cfg.bm.plane_shape,
+        )
+        for c in range(cfg.n_cams)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
+
+
+def make_resample_grids(
+    cfg: MultiCamConfig, packed_cams, max_bot_height, field_scales, field_offsets
+):
+    """Host-side cache entry point: stacked per-camera frame-invariant
+    sampling geometry. Recompute on calibration / bot-height change only."""
+    return jax.jit(
+        lambda p, s, o: resample_grids_traced(
+            cfg, p, jnp.float32(max_bot_height), s, o
+        )
+    )(
+        jnp.asarray(np.asarray(packed_cams), dtype=jnp.float32),
+        jnp.asarray(np.asarray(field_scales), dtype=jnp.float32),
+        jnp.asarray(np.asarray(field_offsets), dtype=jnp.float32),
+    )
+
+
 def batched_step(cfg: MultiCamConfig):
     """Returns a jitted fn processing all cameras of one chip in one program.
 
     Inputs carry a leading camera axis; tracked priors are shared (every
-    camera sees the fleet's previous detections).
+    camera sees the fleet's previous detections). ``rs_grids`` (optional,
+    from make_resample_grids) replays the cached projection geometry.
     """
 
-    def step(raws, packed_cams, field_scales, field_offsets, colors7, prev_summary, params):
+    def step(raws, packed_cams, field_scales, field_offsets, colors7,
+             prev_summary, params, rs_grids=None):
         tracked = tracked_from_summaries(
             cfg.det, prev_summary, params["tracked_time_delta"]
         )
@@ -127,6 +171,8 @@ def batched_step(cfg: MultiCamConfig):
             _single_cam_step(
                 cfg, raws[c], packed_cams[c], field_scales[c],
                 field_offsets[c], colors7[c], tracked, params,
+                rs_grid=None if rs_grids is None
+                else jax.tree.map(lambda x: x[c], rs_grids),
             )
             for c in range(cfg.n_cams)
         ]
@@ -149,11 +195,14 @@ def batched_step_host_tracked(cfg: MultiCamConfig):
     assignment stays authoritative.
     """
 
-    def step(raws, packed_cams, field_scales, field_offsets, colors7, tracked, params):
+    def step(raws, packed_cams, field_scales, field_offsets, colors7,
+             tracked, params, rs_grids=None):
         outs = [
             _single_cam_step(
                 cfg, raws[c], packed_cams[c], field_scales[c],
                 field_offsets[c], colors7[c], tracked, params,
+                rs_grid=None if rs_grids is None
+                else jax.tree.map(lambda x: x[c], rs_grids),
             )
             for c in range(cfg.n_cams)
         ]
@@ -197,6 +246,7 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
             colors7[0],
             tracked,
             params,
+            rs_grid=None,  # single-shot call: projection stays in-line
         )
         # ICI collective: share this camera's detections with the fleet
         gathered = jax.tree.map(
@@ -233,6 +283,14 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
 
     def per_device(bank, packed_cam, field_scale, field_offset, colors7, params):
         # bank arrives (n_frames, 1, ...) — this camera's frame sequence
+        from ..ops import frame as F
+
+        # frame-invariant sampling geometry, hoisted out of the scan
+        grid = F.resample_grid(
+            packed_cam[0], params["max_bot_height"], field_scale[0],
+            field_offset[0], cfg.bm.flat_shape, cfg.bm.plane_shape,
+        )
+
         def body(gathered, raw):
             tracked = tracked_from_summaries(
                 cfg.det, gathered, params["tracked_time_delta"]
@@ -240,6 +298,7 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
             _, det, summary = _single_cam_step(
                 cfg, raw[0], packed_cam[0], field_scale[0],
                 field_offset[0], colors7[0], tracked, params,
+                rs_grid=grid,
             )
             nxt = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, CAM_AXIS), summary
@@ -309,6 +368,11 @@ def make_rollout(cfg: MultiCamConfig, step_fn, n_frames: int):
 
     def scan_fn(raw_bank, packed_cams, field_scales, field_offsets, colors7, params):
         n_bank = raw_bank.shape[0]
+        # frame-invariant sampling geometry, computed once per rollout
+        grids = resample_grids_traced(
+            cfg, packed_cams, params["max_bot_height"], field_scales,
+            field_offsets,
+        )
 
         def body(carry, _):
             i, prev_summary = carry
@@ -317,7 +381,7 @@ def make_rollout(cfg: MultiCamConfig, step_fn, n_frames: int):
             )
             blobs, det, summary = step_fn(
                 raws, packed_cams, field_scales, field_offsets, colors7,
-                prev_summary, params,
+                prev_summary, params, grids,
             )
             compact = {
                 "count": blobs["count"],
