@@ -126,7 +126,7 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False):
         disc_radius=B.disc_radius(ref.min_blob_radius, ref.field_scale),
         max_blobs=max_blobs,
     )
-    det = DetectorConfig(max_blobs=max_blobs, max_tracked=64)
+    det = DetectorConfig(max_blobs=max_blobs, max_tracked=32)
     cfg = MultiCamConfig(bm=bm, det=det, n_cams=n_cams)
 
     packed = np.stack([m.packed() for m, _ in cams])

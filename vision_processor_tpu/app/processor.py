@@ -113,7 +113,7 @@ class Processor:
         config: VisionConfig,
         socket=None,
         gc_socket=None,
-        max_tracked: int = 64,
+        max_tracked: int = 32,
     ):
         self.config = config
         self.socket = socket

@@ -44,7 +44,9 @@ class DetectorConfig:
     max_blobs: int  # k blob slots from the blob machine
     max_anchors: int = 512  # anchors tested for detection hypotheses
     ring_size: int = 8  # neighbour ring per anchor (K)
-    max_tracked: int = 64  # tracked-object slots (T)
+    # SSL allows at most 11 robots per team on the field (22 total); 32
+    # slots cover any legal scene with margin at half the search cost of 64
+    max_tracked: int = 32  # tracked-object slots (T)
     tracked_candidates: int = 3  # blob candidates per pattern slot (M)
     max_bots: int = 64  # bot output slots (B)
 
@@ -493,7 +495,11 @@ def clipping_nms(pos, orient, score, valid, clipping_tolerance):
         suppress = clip[idx] & (rank > rank[idx])
         return jnp.where(ok, kept & ~suppress, kept)
 
-    kept = jax.lax.fori_loop(0, n, body, valid)
+    # the greedy pass is inherently sequential; bound the trip count by the
+    # number of valid candidates (invalid slots sort last and cannot
+    # suppress), so the dependency chain is ~#bots deep, not max_bots deep
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    kept = jax.lax.fori_loop(0, n_valid, body, valid)
     return kept
 
 
