@@ -143,3 +143,44 @@ def test_grid_cache_through_blob_machine(setup):
         np.asarray(cached["field_pos"])[vc],
         atol=0.05,
     )
+
+
+def test_corner_stack_u32_bit_exact(setup):
+    """The u32-built corner stack must be byte-identical to the u8 build
+    (guards the little-endian bitcast assumption on every platform)."""
+    persp, raw = setup
+    import jax.numpy as jnp
+
+    packed = F.raw2planes_packed(jnp.asarray(raw), "RGGB")
+    ref = np.asarray(F.corner_stack(packed))
+    got = np.asarray(F.corner_stack_u32(jnp.asarray(raw), "RGGB"))
+    np.testing.assert_array_equal(ref, got)
+
+    # BGR path too
+    rng = np.random.default_rng(0)
+    bgr = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    packed_bgr = F.raw2planes_packed(jnp.asarray(bgr), "BGR")
+    ref_b = np.asarray(F.corner_stack(packed_bgr))
+    got_b = np.asarray(F.corner_stack_u32(jnp.asarray(bgr), "BGR"))
+    np.testing.assert_array_equal(ref_b, got_b)
+
+
+def test_resample_flat_grid_raw_matches(setup):
+    persp, raw = setup
+    import jax.numpy as jnp
+
+    hf = int(persp.reprojected_field_size[1])
+    wf = int(persp.reprojected_field_size[0])
+    packed_cam = jnp.asarray(persp.model.packed())
+    offset = (
+        float(persp.visible_field_extent[0]),
+        float(persp.visible_field_extent[2]),
+    )
+    packed = F.raw2planes_packed(jnp.asarray(raw), "RGGB")
+    grid = F.resample_grid(
+        packed_cam, jnp.float32(MAXH), persp.field_scale, offset,
+        (hf, wf), packed.shape[:2],
+    )
+    a = np.asarray(F.resample_flat_grid(packed, grid, "RGGB"))
+    b = np.asarray(F.resample_flat_grid_raw(jnp.asarray(raw), grid, "RGGB"))
+    np.testing.assert_array_equal(a, b)

@@ -136,9 +136,7 @@ def blob_machine(
             cfg.fmt,
         )
     elif rs_grid is not None:
-        flat = F.resample_flat_grid(
-            F.raw2planes_packed(raw, cfg.fmt), rs_grid, cfg.fmt
-        )
+        flat = F.resample_flat_grid_raw(raw, rs_grid, cfg.fmt)
     else:
         packed_planes = F.raw2planes_packed(raw, cfg.fmt)
         flat = F.resample_flat_packed(
