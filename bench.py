@@ -255,14 +255,21 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
         return step(raw_d, packed_d, scales_d, offsets_d, colors_now(),
                     tracked_now(now), params, grids)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(len(procs))
+
     def finish(out, now):
         blobs, det = jax.device_get(out)
-        for c, proc in enumerate(procs):
+
+        def one(c):
             per_cam = ({k: v[c] for k, v in blobs.items()},
                        {k: v[c] for k, v in det.items()})
-            wrapper, _, _ = proc.finish_frame(per_cam, now, now)
+            wrapper, _, _ = procs[c].finish_frame(per_cam, now, now)
             wrapper.detection.t_sent = time.time()
             socks[c].send(wrapper)
+
+        list(pool.map(one, range(len(procs))))
         return blobs, det
 
     # warm up compile + sockets
@@ -287,16 +294,19 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
         pipelined.append(time.perf_counter() - t0)
     jax.block_until_ready(pending)
 
-    # host finishing alone (prefetched numpy, no relay)
+    # host finishing alone (prefetched numpy, no relay; same threaded
+    # fan-out as the production loop)
+    def host_only(c):
+        per_cam = ({k: v[c] for k, v in blobs_h.items()},
+                   {k: v[c] for k, v in det_h.items()})
+        wrapper, _, _ = procs[c].finish_frame(per_cam, 0.0, 0.0)
+        wrapper.detection.t_sent = time.time()
+        socks[c].send(wrapper)
+
     t0 = time.perf_counter()
     reps = 10
     for _ in range(reps):
-        for c, proc in enumerate(procs):
-            per_cam = ({k: v[c] for k, v in blobs_h.items()},
-                       {k: v[c] for k, v in det_h.items()})
-            wrapper, _, _ = proc.finish_frame(per_cam, 0.0, 0.0)
-            wrapper.detection.t_sent = time.time()
-            socks[c].send(wrapper)
+        list(pool.map(host_only, range(len(procs))))
     host_ms = (time.perf_counter() - t0) / reps * 1e3
 
     # upload alone: K-differenced device_put of the 4-camera frameset

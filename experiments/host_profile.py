@@ -71,3 +71,44 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main_threaded():
+    """Same measurement with the production thread-pool fan-out."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bench import build_rig, build_processors
+    from vision_processor_tpu.app.processor import TrackedArrays
+    from vision_processor_tpu.parallel.multicam import (
+        batched_step_host_tracked, make_resample_grids)
+
+    cfg, raws, packed, scales, offsets, colors, params, geometry, cams = build_rig(
+        max_blobs=2000)
+    step = batched_step_host_tracked(cfg)
+    procs, socks = build_processors(cfg, cams, geometry, group="224.99.77.14",
+                                    port=17774)
+    grids = make_resample_grids(cfg, packed, 150.0, scales, offsets)
+    tracked = TrackedArrays.build({}, 0.0, cfg.det.max_tracked)
+    out = step(raws, packed, scales, offsets, colors, tracked.as_dict(),
+               params, grids)
+    blobs_h, det_h = jax.device_get(out)
+    pool = ThreadPoolExecutor(len(procs))
+
+    def one(c):
+        per_cam = ({k: v[c] for k, v in blobs_h.items()},
+                   {k: v[c] for k, v in det_h.items()})
+        wrapper, _, _ = procs[c].finish_frame(per_cam, 0.0, 0.0)
+        wrapper.detection.t_sent = time.time()
+        socks[c].send(wrapper)
+
+    list(pool.map(one, range(len(procs))))  # warm
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        list(pool.map(one, range(len(procs))))
+    total = (time.perf_counter() - t0) / reps * 1e3
+    print(f"host finishing per 4-cam frameset (threaded): {total:.3f} ms")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "threaded":
+    main_threaded()

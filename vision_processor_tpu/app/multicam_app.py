@@ -170,8 +170,11 @@ class MultiCamApp:
             tracked.as_dict(), p0.params(), grids,
         )
 
-        wrappers = []
-        for c, proc in enumerate(self.processors):
+        # per-camera host finishing is independent (separate Processor
+        # state, separate sockets) — fan it out on the reader pool; numpy
+        # releases the GIL for array ops
+        def finish_one(c):
+            proc = self.processors[c]
             per_cam = (
                 {k: v[c] for k, v in blobs.items()},
                 {k: v[c] for k, v in det.items()},
@@ -182,8 +185,9 @@ class MultiCamApp:
             wrapper.detection.t_sent = self.cameras[c].get_time()
             self.sockets[c].send(wrapper)
             self.sockets[c].update_time()
-            wrappers.append(wrapper)
-        return wrappers
+            return wrapper
+
+        return list(self._pool.map(finish_one, range(self.n_cams)))
 
     def run(self):
         frame_id = 0

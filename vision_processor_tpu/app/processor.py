@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.colors import ColorState
-from ..models.detector import DetectorConfig, detect
+from ..models.detector import DetectorConfig, detect, estimate_bot_ids
 from ..models.host_detect import HostDetector
 from ..models.perspective import Perspective
 from ..ops.pipeline import BlobMachineConfig, blob_machine
@@ -34,6 +34,9 @@ def full_step(bm_cfg: BlobMachineConfig, det_cfg: DetectorConfig, raw, packed_ca
         params["min_circularity"], rs_grid=rs_grid,
     )
     det = detect(det_cfg, blobs, tracked, colors7[:6], packed_cam, params)
+    # first-pass ids in-graph (pre-update colors — exactly what the host's
+    # build_bots pass needs; the post-color-update pass stays on the host)
+    det["bot_id_est"] = estimate_bot_ids(det, blobs["color"], colors7)
     out_blobs = {
         k: blobs[k]
         for k in ("pos", "field_pos", "color", "center", "circ", "score", "valid", "count")

@@ -160,6 +160,10 @@ class HostDetector:
         bots = []
         valid = det["bot_valid"]
         colors_arr = blobs["color"]
+        # first-pass ids computed in-graph with the same pre-update colors
+        # (processor full_step attaches bot_id_est); host kmeans parity is
+        # covered by tests/test_id_parity.py
+        id_est = det.get("bot_id_est")
         for i in np.flatnonzero(valid):
             idx = det["bot_blob_idx"][i]
             blob_colors = [
@@ -175,8 +179,11 @@ class HostDetector:
             )
             if bot.tracked_id >= 0:
                 bot.bot_id = bot.tracked_id
+            elif id_est is not None:
+                bot.bot_id = int(id_est[i])
             bots.append(bot)
-        self._assign_ids(bots)
+        if id_est is None:
+            self._assign_ids(bots)
         return bots
 
     def _assign_ids(self, bots) -> None:

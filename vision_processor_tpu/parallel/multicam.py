@@ -60,6 +60,7 @@ def _single_cam_step(
     )
     det = detect(cfg.det, blobs, tracked, colors7[:6], packed_cam, params)
     bot_id = estimate_bot_ids(det, blobs["color"], colors7)
+    det["bot_id_est"] = bot_id
     summary = {
         "pos": det["bot_pos"],
         "orientation": det["bot_orientation"],
