@@ -63,7 +63,7 @@ def main():
     print(f"--- grid-cached production stages, max_blobs={bm.max_blobs} ---")
 
     def s_resample(raw):
-        return F.resample_flat_grid(F.raw2planes_packed(raw, bm.fmt), grid, bm.fmt)
+        return F.resample_flat_grid_raw(raw, grid, bm.fmt)
 
     def s_grad(raw):
         return B.gradient_dot(s_resample(raw), bm.grad_offset)
@@ -117,7 +117,7 @@ def main_extract():
           f"disc_radius={bm.disc_radius} ---")
 
     def s_circ(raw):
-        flat = F.resample_flat_grid(F.raw2planes_packed(raw, bm.fmt), grid, bm.fmt)
+        flat = F.resample_flat_grid_raw(raw, grid, bm.fmt)
         grad = B.gradient_dot(flat, bm.grad_offset)
         return flat, B.circularity(B.summed_area_table(grad), bm.sat_radius)
 
@@ -167,3 +167,43 @@ def main_extract():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "extract":
     main_extract()
+
+
+def main_barrier():
+    """Does materializing flat/circ with optimization_barrier stop XLA from
+    duplicating the resample chain into every consumer?"""
+    _ = np.asarray(jnp.ones((8, 128)) * 2)
+    cfg, raws, packed, scales, offsets, colors, params = build_rig(
+        max_blobs=2000)[:7]
+    bm = cfg.bm
+    det_cfg = cfg.det
+    raw = jnp.asarray(raws[0])
+    cam = jnp.asarray(packed[0])
+    fs = jnp.float32(scales[0])
+    fo = jnp.asarray(offsets[0])
+    col = jnp.asarray(colors[0])
+    grid = bm.make_resample_grid(np.asarray(packed[0]), 150.0,
+                                 field_scale=fs, field_offset=fo)
+
+    def s_full(raw, barrier):
+        flat = F.resample_flat_grid_raw(raw, grid, bm.fmt)
+        if barrier:
+            flat = jax.lax.optimization_barrier(flat)
+        grad = B.gradient_dot(flat, bm.grad_offset)
+        circ = B.circularity(B.summed_area_table(grad), bm.sat_radius)
+        if barrier:
+            circ = jax.lax.optimization_barrier(circ)
+        blobs = B.extract_blobs(flat, circ, params["min_circularity"],
+                                jnp.float32(0.0), radius=bm.disc_radius,
+                                max_blobs=bm.max_blobs)
+        blobs = {**blobs, "field_pos": blobs["pos"] * fs + fo}
+        tracked = M.tracked_from_summaries(
+            det_cfg, M.empty_summary(cfg), params["tracked_time_delta"])
+        return detect(det_cfg, blobs, tracked, col[:6], cam, params)
+
+    timeit(lambda r: s_full(r, False), (raw,), "full step, no barriers")
+    timeit(lambda r: s_full(r, True), (raw,), "full step, flat+circ barriers")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "barrier":
+    main_barrier()
