@@ -123,3 +123,57 @@ async def test_websocket_topic_stream(aiohttp_client, geometry_yml, tmp_path):
     assert resp.status == 200
     body = await resp.text()
     assert "wrapper" in body.lower()
+
+
+async def test_frontend_modules_and_detection_topic(
+    aiohttp_client, geometry_yml, tmp_path
+):
+    """The overlay frontend's ES modules are served and the detection.in
+    topic carries everything the field canvas consumes (robot pose +
+    orientation + id, balls, geometry lines)."""
+    from vision_processor_tpu.proto import SSL_DetectionFrame
+
+    bus = WatchBus()
+    GeometryService(bus, geometry_yml)
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    client = await aiohttp_client(build_app(bus, img_dir))
+
+    # static modules referenced by index.html
+    body = await (await client.get("/")).text()
+    assert "/static/bus.js" in body and "/static/field.js" in body
+    for mod in ("bus.js", "field.js"):
+        resp = await client.get(f"/static/{mod}")
+        assert resp.status == 200
+        text = await resp.text()
+        assert "export class" in text
+
+    ws = await client.ws_connect("/ws")
+    await ws.send_str(
+        json.dumps({"action": "subscribe", "topic": "detection.in"})
+    )
+    await asyncio.sleep(0.05)
+
+    det = SSL_DetectionFrame()
+    det.frame_number = 7
+    det.camera_id = 2
+    det.t_capture = det.t_sent = 1.0
+    bot = det.robots_yellow.add()
+    bot.confidence = 0.9
+    bot.robot_id = 4
+    bot.x, bot.y, bot.orientation = -1000.0, 500.0, 0.7
+    bot.pixel_x = bot.pixel_y = 0.0
+    ball = det.balls.add()
+    ball.confidence = 1.0
+    ball.x, ball.y = 100.0, -200.0
+    ball.pixel_x = ball.pixel_y = 0.0
+    bus.publish("detection.in", det)
+
+    msg = await asyncio.wait_for(ws.receive_json(), timeout=2.0)
+    assert msg["topic"] == "detection.in"
+    d = msg["data"]
+    assert d["camera_id"] == 2 and d["frame_number"] == 7
+    assert d["robots_yellow"][0]["robot_id"] == 4
+    assert abs(d["robots_yellow"][0]["orientation"] - 0.7) < 1e-6
+    assert d["balls"][0]["x"] == 100.0
+    await ws.close()
