@@ -160,3 +160,73 @@ def test_model_error_metric(calibrated, field_image, divb_field):
     err = G.model_error(field, calibrated, pixels)
     rate = err / len(pixels)
     assert rate < 0.3, f"model error rate {rate:.3f}"
+
+
+# -- wide-angle identifiability ---------------------------------------------
+
+
+def _line_pixel_groups(field_image):
+    """Detected long-line pixel groups, as the calibration orchestration
+    builds them (shared by the distortion tests)."""
+    import cv2
+
+    gray = cv2.cvtColor(field_image, cv2.COLOR_RGB2GRAY)
+    thresh = L.threshold_image(gray, 2, 5)
+    segs = L.detect_segments(thresh, 10.0)
+    groups = L.group_line_segments(segs, np.deg2rad(3.0), 10.0)
+    merged = L.merge_line_segments(groups)
+    pixels = L.get_line_pixels(thresh)
+
+    merged_pixels = []
+    for group, (a, b) in zip(groups, merged):
+        if np.linalg.norm(b - a) < gray.shape[0] / 2:
+            continue
+        sel = np.zeros(len(pixels), dtype=bool)
+        for seg in group:
+            v = seg[1] - seg[0]
+            vv = float(v @ v)
+            if vv == 0:
+                continue
+            w = pixels - seg[0]
+            t = np.clip((w @ v) / vv, 0.0, 1.0)
+            d2 = np.sum((w - t[:, None] * v) ** 2, axis=-1)
+            sel |= d2 <= 4.0
+        if sel.sum() > 10:
+            merged_pixels.append(pixels[sel])
+    return merged_pixels
+
+
+def test_wide_angle_principal_point_identifiable(divb_field):
+    """k2 ~ 0.12 rig: strong curvature makes the distortion center
+    identifiable, and the joint (k2, principal point) stage must recover
+    both from a wrong initial principal point (ROADMAP item: wide-angle
+    distortion identifiability)."""
+    true_k2 = 0.12
+    true_pp = np.array([505.0, 330.0])
+    wide_model = CameraModel(
+        focal_length=560.0,  # short focal = wide angle
+        principal_point=true_pp.copy(),
+        distortion_k2=true_k2,
+        pos=np.array([-2150.0, 80.0, 3400.0]),
+        size=np.array([960, 720]),
+    )
+    scene = Scene(bots=[], balls=[], noise_sigma=1.0)
+    img = render_rgb(wide_model, divb_field.geometry.field, scene)
+    groups = _line_pixel_groups(img)
+    assert len(groups) >= 2
+
+    fit = CameraModel(
+        focal_length=wide_model.focal_length,
+        principal_point=np.array([480.0, 360.0]),  # image center, wrong
+        distortion_k2=0.0,
+        pos=wide_model.pos.copy(),
+        quat=wide_model.quat.copy(),
+        size=wide_model.size.copy(),
+    )
+    ok = calibrate_distortion(groups, fit, fit_principal_point=True)
+    assert ok
+    assert abs(fit.distortion_k2 - true_k2) < 0.05, fit.distortion_k2
+    # principal point moves toward the truth from the center guess
+    err0 = np.linalg.norm(np.array([480.0, 360.0]) - true_pp)
+    err1 = np.linalg.norm(fit.principal_point - true_pp)
+    assert err1 < err0, (fit.principal_point, err0, err1)

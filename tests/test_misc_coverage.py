@@ -128,3 +128,22 @@ def test_open_camera_unknown_driver():
 
     with pytest.raises(ValueError):
         open_camera(CameraSection(driver="NOPE"))
+
+
+def test_genicam_driver_requires_aravis():
+    from vision_processor_tpu.io.genicam import AravisDriver
+    from vision_processor_tpu.utils.config import CameraSection
+
+    with pytest.raises(RuntimeError, match="Aravis"):
+        AravisDriver(CameraSection(driver="GENICAM"))
+
+
+def test_open_camera_routes_genicam():
+    from vision_processor_tpu.io.camera import open_camera
+    from vision_processor_tpu.utils.config import CameraSection
+
+    # without libaravis the driver must raise its clear gating error (not
+    # an unknown-driver ValueError) for both aliases
+    for name in ("GENICAM", "ARAVIS"):
+        with pytest.raises(RuntimeError, match="Aravis"):
+            open_camera(CameraSection(driver=name))

@@ -81,8 +81,8 @@ def calibrate_distortion(
     # group); k2 bounded to the physical single-coefficient range
     r1 = least_squares(
         lambda k: residuals([k[0], pp0[0], pp0[1]]),
-        np.array([np.clip(model.distortion_k2, -0.1, 0.1)]),
-        method="trf", bounds=([-0.1], [0.1]), loss="soft_l1",
+        np.array([np.clip(model.distortion_k2, -0.3, 0.3)]),
+        method="trf", bounds=([-0.3], [0.3]), loss="soft_l1",
         f_scale=0.01, max_nfev=100,
     )
     # identifiability guard: when the straightness cost barely depends on

@@ -192,4 +192,8 @@ def open_camera(cfg: CameraSection) -> CameraDriver:
         from . import vendor  # registers both; raises without the SDK
 
         return _DRIVERS[name](cfg)
+    if name in ("GENICAM", "ARAVIS"):
+        from . import genicam  # registers both; raises without libaravis
+
+        return _DRIVERS[name](cfg)
     raise ValueError(f"unknown camera driver {cfg.driver}")
