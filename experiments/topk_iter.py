@@ -1,0 +1,122 @@
+"""Iterative k-pass argmax vs lax.top_k for the detector's small-k selects.
+
+Exact (first-occurrence tie-breaking matches top_k's stable order for the
+distinct keys the detector uses). Measured on the full production step.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from bench import build_rig
+from vision_processor_tpu.models import detector as D
+from vision_processor_tpu.ops import blob as B
+from vision_processor_tpu.ops import frame as F
+from vision_processor_tpu.parallel import multicam as M
+
+
+def timeit(fn, args, tag, n_lo=8, n_hi=40, reps=4):
+    def make(n):
+        def scan_fn(raw0, *rest):
+            def body(carry, _):
+                out = fn(carry, *rest)
+                leaves = jax.tree.leaves(out)
+                bump = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+                nxt = jnp.roll(carry, 2, axis=0)
+                return nxt, bump
+            return jax.lax.scan(body, raw0, None, length=n)
+        return jax.jit(scan_fn)
+
+    best = []
+    fns = {n: make(n) for n in (n_lo, n_hi)}
+    for n in (n_lo, n_hi):
+        out = fns[n](*args); jax.block_until_ready(out)
+    for _ in range(reps):
+        times = {}
+        for n in (n_lo, n_hi):
+            t0 = time.perf_counter()
+            out = fns[n](*args); jax.block_until_ready(out)
+            times[n] = time.perf_counter() - t0
+        best.append((times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1e3)
+    ms = min(best)
+    print(f"{tag:52s} {ms:8.3f} ms   ({', '.join(f'{b:.3f}' for b in best)})")
+    return ms
+
+
+def iter_top_k(scores, k):
+    """Exact top-k on the last axis via k argmax passes."""
+    vals, idxs = [], []
+    cur = scores
+    n = scores.shape[-1]
+    iota = jnp.arange(n)
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(iota == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def main():
+    _ = np.asarray(jnp.ones((8, 128)) * 2)
+    cfg, raws, packed, scales, offsets, colors, params = build_rig(
+        max_blobs=2000)[:7]
+    bm = cfg.bm
+    det_cfg = cfg.det
+    raw = jnp.asarray(raws[0])
+    cam = jnp.asarray(packed[0])
+    fs = jnp.float32(scales[0])
+    fo = jnp.asarray(offsets[0])
+    col = jnp.asarray(colors[0])
+    grid = bm.make_resample_grid(np.asarray(packed[0]), 150.0,
+                                 field_scale=fs, field_offset=fo)
+
+    # sanity: equality on random data
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(512, 2000)).astype(np.float32))
+    v1, i1 = jax.lax.top_k(x, 8)
+    v2, i2 = jax.jit(lambda a: iter_top_k(a, 8))(x)
+    print("top_k parity:", np.array_equal(np.asarray(i1), np.asarray(i2)))
+
+    def full(raw, use_iter):
+        old = jax.lax.top_k
+        flat = F.resample_flat_grid_raw(raw, grid, bm.fmt)
+        grad = B.gradient_dot(flat, bm.grad_offset)
+        circ = B.circularity(B.summed_area_table(grad), bm.sat_radius)
+        blobs = B.extract_blobs(flat, circ, params["min_circularity"],
+                                jnp.float32(0.0), radius=bm.disc_radius,
+                                max_blobs=bm.max_blobs)
+        blobs = {**blobs, "field_pos": blobs["pos"] * fs + fo}
+        tracked = M.tracked_from_summaries(
+            det_cfg, M.empty_summary(cfg), params["tracked_time_delta"])
+        if use_iter:
+            D.jax.lax = jax.lax  # no-op; patch via monkey below
+        return D.detect(det_cfg, blobs, tracked, col[:6], cam, params)
+
+    timeit(lambda r: full(r, False), (raw,), "full step (lax.top_k)")
+
+    # monkeypatch the detector's small-k top_k call sites
+    real_top_k = jax.lax.top_k
+
+    def patched_top_k(x, k):
+        if k <= 8:
+            return iter_top_k(x, k)
+        return real_top_k(x, k)
+
+    D.jax.lax.top_k = patched_top_k
+    try:
+        timeit(lambda r: full(r, False), (raw,), "full step (iter argmax k<=8)")
+    finally:
+        D.jax.lax.top_k = real_top_k
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,26 @@ def test_tracked_arrays_build():
     assert set(arrs.id[arrs.valid]) == {4, 17}
     i = list(arrs.id).index(4)
     assert arrs.time_delta[i] == pytest.approx(0.5)
+
+
+def test_iter_top_k_matches_lax():
+    """iter_top_k: values always match lax.top_k; indices match wherever the
+    selected value is finite (all--inf slots are masked invalid downstream,
+    so their index order is immaterial — argmax repeats slot 0 there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_processor_tpu.models.detector import iter_top_k
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(64, 500)).astype(np.float32)
+    # inject ties and -inf rows
+    x[:, 100] = x[:, 200]
+    x[3, :] = -np.inf
+    v1, i1 = jax.lax.top_k(jnp.asarray(x), 8)
+    v2, i2 = jax.jit(lambda a: iter_top_k(a, 8))(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    finite = np.isfinite(np.asarray(v1))
+    np.testing.assert_array_equal(
+        np.asarray(i1)[finite], np.asarray(i2)[finite]
+    )
