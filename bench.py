@@ -375,6 +375,12 @@ def main():
             "ms_upload_per_frameset_via_relay_tunnel": round(upload_ms, 3),
             "ms_upload_per_frameset_direct_est_4GBps": round(upload_direct_ms, 3),
             "p50_frame_latency_ms_corrected_serial": round(corrected_serial_ms, 3),
+            # latency-optimal deployment is one process per camera like the
+            # reference: per-camera work is 1/4 of the batched program
+            # (cameras are unrolled, no shared stages), so its serial frame
+            # latency is the per-camera slice of upload+device+host
+            "p50_ms_per_camera_process_derived": round(
+                corrected_serial_ms / n_cams, 3),
             "sustained_ms_corrected_pipelined": round(corrected_pipelined_ms, 3),
             "fps_serial_corrected": round(fps_production, 1),
             "fps_device_only": round(fps_device, 1),

@@ -118,5 +118,53 @@ def main():
         D.jax.lax.top_k = real_top_k
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
+
+
+def main_row():
+    """iter argmax for the extract row top-k (k=16 over 962-wide rows)."""
+    _ = np.asarray(jnp.ones((8, 128)) * 2)
+    cfg, raws, packed, scales, offsets, colors, params = build_rig(
+        max_blobs=2000)[:7]
+    bm = cfg.bm
+    raw = jnp.asarray(raws[0])
+    fs = jnp.float32(scales[0])
+    fo = jnp.asarray(offsets[0])
+    grid = bm.make_resample_grid(np.asarray(packed[0]), 150.0,
+                                 field_scale=fs, field_offset=fo)
+
+    def upstream(raw):
+        flat = F.resample_flat_grid_raw(raw, grid, bm.fmt)
+        grad = B.gradient_dot(flat, bm.grad_offset)
+        circ = B.circularity(B.summed_area_table(grad), bm.sat_radius)
+        s1, s2, n = B.disc_stats_sat(flat, bm.disc_radius)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
+        score = circ / jnp.maximum(stddev_sum, 1e-12)
+        valid = ((circ >= params["min_circularity"]) & B.local_max_mask(circ))
+        return jnp.where(valid, score, -jnp.inf)
+
+    def via_topk(raw):
+        masked = upstream(raw)
+        rs, ri = jax.lax.top_k(masked, 16)
+        ts, ci = jax.lax.top_k(rs.reshape(-1), bm.max_blobs)
+        return ts, ci
+
+    def via_iter(raw):
+        masked = upstream(raw)
+        rs, ri = iter_top_k(masked, 16)
+        ts, ci = jax.lax.top_k(rs.reshape(-1), bm.max_blobs)
+        return ts, ci
+
+    a = jax.jit(via_topk)(raw)
+    b = jax.jit(via_iter)(raw)
+    print("row values equal:",
+          np.array_equal(np.asarray(a[0]), np.asarray(b[0])))
+    timeit(via_topk, (raw,), "row stage via lax.top_k(16)")
+    timeit(via_iter, (raw,), "row stage via 16x argmax")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "row":
+    main_row()
