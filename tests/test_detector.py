@@ -153,3 +153,32 @@ def test_iter_top_k_matches_lax():
     np.testing.assert_array_equal(
         np.asarray(i1)[finite], np.asarray(i2)[finite]
     )
+
+
+def test_sparse_ring_not_inflated_by_padding():
+    """Anchors with <4 in-radius blobs must stay rejected: iter_top_k pads
+    exhausted slots with repeated index 0, and validity must come from the
+    selected values, not a re-gathered in-radius mask (regression — with
+    blob 0 in radius the padding used to inflate ring_count past the
+    reference's >=4-blob gate, reference src/main.cpp:63-75)."""
+    import jax.numpy as jnp
+
+    from vision_processor_tpu.models.detector import (
+        DetectorConfig,
+        detection_hypotheses,
+    )
+
+    n = 32
+    pos = np.full((n, 2), 1e6, dtype=np.float32)  # far away padding
+    # blobs 0, 5, 9 clustered (anchor 0 has only 3 in-radius incl. itself)
+    pos[0] = [0.0, 0.0]
+    pos[5] = [40.0, 10.0]
+    pos[9] = [-30.0, 35.0]
+    valid = np.zeros(n, dtype=bool)
+    valid[[0, 5, 9]] = True
+
+    cfg = DetectorConfig(max_blobs=n, max_anchors=n)
+    out = detection_hypotheses(
+        cfg, jnp.asarray(pos), jnp.asarray(valid), jnp.float32(90.0)
+    )
+    assert not bool(np.asarray(out["valid"]).any()), np.asarray(out["score"])

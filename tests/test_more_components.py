@@ -187,3 +187,30 @@ def test_tracked_vision_protos_roundtrip():
     assert back.tracked_frame.robots[0].robot_id.id == 7
     assert back.tracked_frame.balls[0].pos.y == -2.0
     assert back.tracked_frame.kicked_ball.vel.x == 3.0
+
+
+def test_tracked_arrays_dedupe_across_cameras():
+    """A robot seen by several cameras occupies ONE tracked slot (freshest
+    estimate wins), so a legal 22-robot scene fits the 32 slots even with
+    heavy camera overlap."""
+    from types import SimpleNamespace
+
+    from vision_processor_tpu.app.processor import TrackedArrays
+
+    def obj(i, ts, x):
+        return SimpleNamespace(
+            id=i, x=x, y=0.0, z=0.0, w=0.0, vx=0.0, vy=0.0, vw=0.0,
+            timestamp=ts,
+        )
+
+    tracked_by_cam = {
+        0: [obj(3, 10.0, 100.0), obj(4, 10.0, 200.0)],
+        1: [obj(3, 11.0, 105.0)],  # newer estimate of robot 3
+        2: [obj(3, 9.0, 90.0), obj(7, 10.0, 300.0)],
+    }
+    arr = TrackedArrays.build(tracked_by_cam, now=12.0, slots=8)
+    ids = arr.id[arr.valid].tolist()
+    assert sorted(ids) == [3, 4, 7]
+    i3 = arr.id.tolist().index(3)
+    assert arr.x[i3] == 105.0  # freshest wins
+    assert arr.time_delta[i3] == pytest.approx(1.0)

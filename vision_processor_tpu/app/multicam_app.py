@@ -136,11 +136,15 @@ class MultiCamApp:
         ])
         colors = np.stack([p.colors.packed() for p in self.processors])
 
-        # frame-invariant sampling geometry, cached on calibration change
+        # frame-invariant sampling geometry, cached on calibration /
+        # geometry / bot-height change; the key covers EVERY projection
+        # input (per-camera scales and offsets included — a field-extent
+        # shift must invalidate even when the flat shape rounds the same)
         from ..parallel.multicam import make_resample_grids
 
         maxh = float(self.processors[0].max_bot_height)
-        grid_key = (self._geom_key, packed.tobytes(), maxh)
+        grid_key = (self.mc_cfg.bm, packed.tobytes(), scales.tobytes(),
+                    offsets.tobytes(), maxh)
         if getattr(self, "_grid_key", None) != grid_key:
             self._grids = make_resample_grids(
                 self.mc_cfg, packed, maxh, scales, offsets

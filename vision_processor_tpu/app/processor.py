@@ -61,13 +61,20 @@ class TrackedArrays:
 
     @classmethod
     def build(cls, tracked_by_cam: dict, now: float, slots: int) -> "TrackedArrays":
-        rows = []
+        # one row per robot id: each camera that sees a robot reports its
+        # own estimate, so the flattened per-camera lists carry duplicates
+        # in overlap regions. Keep the freshest estimate per id — dedup
+        # keeps every robot of a legal scene (<=32 ids) inside `slots`
+        # instead of silently truncating the later cameras' robots.
+        best: dict[int, object] = {}
         for _cam, entries in sorted(tracked_by_cam.items()):
             for t in entries:
                 if t.id == -1:
                     continue  # balls are not searched as constellations
-                rows.append(t)
-        rows = rows[:slots]
+                prev = best.get(t.id)
+                if prev is None or t.timestamp > prev.timestamp:
+                    best[t.id] = t
+        rows = list(best.values())[:slots]
         arr = cls(
             id=np.full(slots, -1, dtype=np.int32),
             x=np.zeros(slots, dtype=np.float32),
@@ -239,10 +246,15 @@ class Processor:
 
     def _resample_grid(self):
         """Frame-invariant sampling geometry, recomputed on calibration /
-        bot-height change only (the projection is the most expensive part
-        of resampling and never changes between frames)."""
+        geometry / bot-height change only (the projection is the most
+        expensive part of resampling and never changes between frames).
+
+        Keyed on the frozen BlobMachineConfig VALUE (not the compile key):
+        it carries field_scale/field_offset, so a geometry update that
+        shifts the visible extent without changing the rounded flat-grid
+        shape still invalidates the cached projection."""
         packed = self.perspective.model.packed()
-        key = (self._geom_key, packed.tobytes(), float(self.max_bot_height))
+        key = (self._bm_cfg, packed.tobytes(), float(self.max_bot_height))
         if self._grid_key != key:
             self._grid = self._bm_cfg.make_resample_grid(
                 packed, self.max_bot_height

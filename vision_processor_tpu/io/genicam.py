@@ -63,10 +63,11 @@ class AravisDriver(CameraDriver):
         self._lib = lib
         self._setup_prototypes(lib)
 
+        # camera.path selects by Aravis device id / address string (e.g.
+        # "Allied Vision-XXXX" or an IP); NULL opens the first discovered
+        # device. Each camera of a multi-camera rig needs a distinct path.
+        name = cfg.path.encode() if cfg.path else None
         err = ctypes.POINTER(_GErrorPtr)()
-        # NULL name opens the first discovered device; an explicit id from
-        # the config selects by Aravis device id string
-        name = str(cfg.id).encode() if getattr(cfg, "device", None) else None
         self._cam = lib.arv_camera_new(name, ctypes.byref(err))
         self._check(err, "arv_camera_new")
         if not self._cam:
@@ -74,19 +75,24 @@ class AravisDriver(CameraDriver):
 
         self._configure(cfg)
 
-        self._payload = lib.arv_camera_get_payload(self._cam, ctypes.byref(err))
-        self._check(err, "arv_camera_get_payload")
-        self._stream = lib.arv_camera_create_stream(
-            self._cam, None, None, ctypes.byref(err)
+        self._payload = self._call(
+            lib.arv_camera_get_payload, self._cam, what="get_payload"
         )
-        self._check(err, "arv_camera_create_stream")
+        self._stream = self._call(
+            lib.arv_camera_create_stream, self._cam, None, None,
+            what="create_stream",
+        )
         for _ in range(_N_BUFFERS):
             buf = lib.arv_buffer_new_allocate(self._payload)
             lib.arv_stream_push_buffer(self._stream, buf)
-        lib.arv_camera_start_acquisition(self._cam, ctypes.byref(err))
-        self._check(err, "arv_camera_start_acquisition")
+        self._call(
+            lib.arv_camera_start_acquisition, self._cam,
+            what="start_acquisition",
+        )
 
-        fps = lib.arv_camera_get_frame_rate(self._cam, ctypes.byref(err))
+        fps = self._call(
+            lib.arv_camera_get_frame_rate, self._cam, what="get_frame_rate"
+        )
         self._fps = float(fps) if fps and fps > 0 else 50.0
 
     @staticmethod
@@ -150,32 +156,46 @@ class AravisDriver(CameraDriver):
             msg = err.contents.message or b""
             raise RuntimeError(f"GENICAM {what}: {msg.decode(errors='replace')}")
 
+    def _call(self, fn, *args, what: str):
+        """Call an Aravis function with a FRESH GError** (GLib forbids
+        passing a still-set error into the next call) and check it."""
+        err = ctypes.POINTER(_GErrorPtr)()
+        out = fn(*args, ctypes.byref(err))
+        self._check(err, what)
+        return out
+
     def _configure(self, cfg: CameraSection) -> None:
         lib = self._lib
-        err = ctypes.POINTER(_GErrorPtr)()
-        lib.arv_camera_set_pixel_format(
-            self._cam, ARV_PIXEL_FORMAT_BAYER_RG_8, ctypes.byref(err)
+        self._call(
+            lib.arv_camera_set_pixel_format, self._cam,
+            ARV_PIXEL_FORMAT_BAYER_RG_8, what="set_pixel_format(BayerRG8)",
         )
-        self._check(err, "set_pixel_format(BayerRG8)")
         if cfg.exposure > 0:
-            lib.arv_camera_set_exposure_time_auto(
-                self._cam, ARV_AUTO_OFF, ctypes.byref(err)
+            self._call(
+                lib.arv_camera_set_exposure_time_auto, self._cam,
+                ARV_AUTO_OFF, what="set_exposure_time_auto(off)",
             )
-            lib.arv_camera_set_exposure_time(
-                self._cam, cfg.exposure * 1000.0, ctypes.byref(err)
+            self._call(
+                lib.arv_camera_set_exposure_time, self._cam,
+                cfg.exposure * 1000.0, what="set_exposure_time",
             )
-            self._check(err, "set_exposure_time")
         else:
-            lib.arv_camera_set_exposure_time_auto(
-                self._cam, ARV_AUTO_CONTINUOUS, ctypes.byref(err)
+            self._call(
+                lib.arv_camera_set_exposure_time_auto, self._cam,
+                ARV_AUTO_CONTINUOUS, what="set_exposure_time_auto(cont)",
             )
         if cfg.gain > 0:
-            lib.arv_camera_set_gain_auto(self._cam, ARV_AUTO_OFF, ctypes.byref(err))
-            lib.arv_camera_set_gain(self._cam, cfg.gain, ctypes.byref(err))
-            self._check(err, "set_gain")
+            self._call(
+                lib.arv_camera_set_gain_auto, self._cam, ARV_AUTO_OFF,
+                what="set_gain_auto(off)",
+            )
+            self._call(
+                lib.arv_camera_set_gain, self._cam, cfg.gain, what="set_gain"
+            )
         else:
-            lib.arv_camera_set_gain_auto(
-                self._cam, ARV_AUTO_CONTINUOUS, ctypes.byref(err)
+            self._call(
+                lib.arv_camera_set_gain_auto, self._cam,
+                ARV_AUTO_CONTINUOUS, what="set_gain_auto(cont)",
             )
 
     @property
@@ -215,9 +235,25 @@ class AravisDriver(CameraDriver):
         return RawFrame(raw, "RGGB", w // 2, h // 2, ts)
 
     def close(self) -> None:
+        """Stop acquisition and drop the GObject references — leaving the
+        ArvCamera alive keeps the GigE control-channel heartbeat owning
+        the device, which blocks re-opening it from the same process."""
         try:
             err = ctypes.POINTER(_GErrorPtr)()
             self._lib.arv_camera_stop_acquisition(self._cam, ctypes.byref(err))
+        except Exception:  # pragma: no cover - teardown
+            pass
+        try:
+            path = ctypes.util.find_library("gobject-2.0")
+            if path:
+                gobject = ctypes.CDLL(path)
+                gobject.g_object_unref.argtypes = [ctypes.c_void_p]
+                if self._stream:
+                    gobject.g_object_unref(self._stream)
+                if self._cam:
+                    gobject.g_object_unref(self._cam)
+                self._stream = None
+                self._cam = None
         except Exception:  # pragma: no cover - teardown
             pass
 

@@ -100,6 +100,11 @@ def iter_top_k(scores, k: int):
     reductions instead of lax.top_k's per-row sort over the full 2000-blob
     axis (measured ~0.1 ms/camera cheaper on the full step). Ties pick the
     lower index, matching lax.top_k's stable order.
+
+    CAUTION: once a row is exhausted (all remaining -inf), argmax repeats
+    index 0, so — unlike lax.top_k — returned indices are NOT distinct on
+    padding slots. Callers must derive slot validity from the returned
+    VALUES (> -inf), never by re-gathering a mask at the indices.
     """
     vals, idxs = [], []
     cur = scores
@@ -228,8 +233,12 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     else:
         rank = blob_rank
     sel_score = jnp.where(in_radius, -rank[None, :], -jnp.inf)
-    _, sel_idx = iter_top_k(sel_score, k)  # (A, K)
-    sel_valid = jnp.take_along_axis(in_radius, sel_idx, axis=1)
+    sel_val, sel_idx = iter_top_k(sel_score, k)  # (A, K)
+    # validity from the selected VALUES: iter_top_k repeats index 0 on
+    # exhausted slots, so re-gathering in_radius would falsely validate
+    # padding whenever blob 0 is in range (inflating ring_count past the
+    # reference's >=4-blob anchor gate)
+    sel_valid = sel_val > -jnp.inf
 
     sel_diff = jnp.take_along_axis(
         diff, sel_idx[..., None], axis=1
@@ -341,8 +350,9 @@ def tracked_hypotheses(
     )  # (T, 5, k)
     cand_ok = (d2 <= (search_radius**2)[:, None, None]) & blob_valid[None, None, :]
     cand_score = jnp.where(cand_ok, -d2, -jnp.inf)
-    _, cand_idx = iter_top_k(cand_score, m)  # (T, 5, M)
-    cand_valid = jnp.take_along_axis(cand_ok, cand_idx, axis=2)
+    cand_val, cand_idx = iter_top_k(cand_score, m)  # (T, 5, M)
+    # value-derived validity (see iter_top_k: padding indices repeat 0)
+    cand_valid = cand_val > -jnp.inf
 
     combos_np = tracked_combo_table(m + 1)  # (Ct, 5), m == null
     n_combo = combos_np.shape[0]
@@ -604,7 +614,7 @@ def detect(
     }
 
 
-def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 6):
+def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 8):
     """Vectorized guarded 2-means over the 4 side-blob colors of each bot.
 
     Mirrors the host kmeans2 / reference kMeans semantics exactly
@@ -638,9 +648,13 @@ def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 6):
     degenerate = jnp.all(c1 == c2, axis=-1)
 
     ok = may_split & ~degenerate
-    # fixed-point iteration (4 points converge well within `iters`); the
-    # reference's int division is Eigen Vector3i / int = C++ trunc-toward-
-    # zero; dRGB values are non-negative so floor == trunc here
+    # fixed-point iteration with the scalar loop's stop rule: a row stops
+    # updating as soon as EITHER center repeats (kmeans.py:41), so late
+    # iterations cannot move a converged center's partner and diverge from
+    # the host result. The reference's int division is Eigen Vector3i /
+    # int = C++ trunc-toward-zero; dRGB values are non-negative so floor
+    # == trunc here.
+    active = ok
     for _ in range(iters):
         d1 = jnp.sum((vals - c1[:, None, :]) ** 2, axis=-1)
         d2 = jnp.sum((vals - c2[:, None, :]) ** 2, axis=-1)
@@ -648,15 +662,16 @@ def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 6):
         n1 = jnp.sum(assign1, axis=-1)
         n2 = 4 - n1
         empty = (n1 == 0) | (n2 == 0)
-        ok = ok & ~empty
+        ok = ok & ~(empty & active)
+        active = active & ~empty
         s1 = jnp.sum(jnp.where(assign1[..., None], vals, 0), axis=1)
         s2 = jnp.sum(jnp.where(assign1[..., None], 0, vals), axis=1)
-        c1 = jnp.where(
-            (ok & (n1 > 0))[:, None], s1 // jnp.maximum(n1, 1)[:, None], c1
-        )
-        c2 = jnp.where(
-            (ok & (n2 > 0))[:, None], s2 // jnp.maximum(n2, 1)[:, None], c2
-        )
+        new1 = s1 // jnp.maximum(n1, 1)[:, None]
+        new2 = s2 // jnp.maximum(n2, 1)[:, None]
+        conv = jnp.all(new1 == c1, axis=-1) | jnp.all(new2 == c2, axis=-1)
+        c1 = jnp.where(active[:, None], new1, c1)
+        c2 = jnp.where(active[:, None], new2, c2)
+        active = active & ~conv
 
     split = jnp.sum((c1 - c2) ** 2, axis=-1).astype(jnp.float32)
     weak = split < out_group.astype(jnp.float32) / 4.0
