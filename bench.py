@@ -28,7 +28,8 @@ import time
 import numpy as np
 
 
-def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False):
+def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False,
+              resampling_factor=1.0, return_scenes=False):
     """4 cameras, one per field quadrant, 1080p Bayer each."""
     import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False):
 
     cams, raws = [], []
     rng = np.random.default_rng(7)
+    scenes = []
     for cam_id in range(n_cams):
         lo, hi = visible_field_extent_estimation(cam_id, n_cams, geometry.field, False)
         center = (lo + hi) / 2
@@ -76,7 +78,7 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False):
         geometry.ClearField("calib")
         geometry.calib.append(model.to_proto(cam_id))
         assert persp.update_geometry(
-            geometry, cam_id + 1, width, height, 150.0, 1.0
+            geometry, cam_id + 1, width, height, 150.0, resampling_factor
         )
         cams.append((model, persp))
 
@@ -107,6 +109,7 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False):
             seed=cam_id,
         )
         raws.append(render_raw(model, geometry.field, scene, "RGGB"))
+        scenes.append(scene)
 
     raws = np.stack(raws)
     hf = max(int(p.reprojected_field_size[1]) for _, p in cams)
@@ -152,6 +155,9 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False):
         "ball_radius": jnp.float32(21.5),
         "tracked_time_delta": jnp.float32(0.005),
     }
+    if return_scenes:
+        return (cfg, raws, packed, scales, offsets, colors, params, geometry,
+                cams, scenes)
     return cfg, raws, packed, scales, offsets, colors, params, geometry, cams
 
 
