@@ -309,11 +309,15 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
         wrapper.detection.t_sent = time.time()
         socks[c].send(wrapper)
 
-    t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
+    # median over per-rep times: host finishing is deterministic work, so
+    # the median estimates its cost without transient system-load spikes
+    # (the mean was swinging the headline by ~10% between runs)
+    rep_times = []
+    for _ in range(15):
+        t0 = time.perf_counter()
         list(pool.map(host_only, range(len(procs))))
-    host_ms = (time.perf_counter() - t0) / reps * 1e3
+        rep_times.append(time.perf_counter() - t0)
+    host_ms = float(np.median(rep_times)) * 1e3
 
     # upload alone: K-differenced device_put of the 4-camera frameset
     def upload_k(k):

@@ -16,6 +16,8 @@ export class FieldView {
     this.ctx = canvas.getContext("2d");
     this.geometry = null;
     this.frames = new Map(); // camera_id -> {det, stamp}
+    this.hiddenCameras = new Set();
+    this.selected = null; // {camera, team, bot}
   }
 
   setGeometry(geom) {
@@ -24,6 +26,38 @@ export class FieldView {
 
   addDetection(det) {
     this.frames.set(det.camera_id ?? 0, { det, stamp: performance.now() });
+  }
+
+  setCameraVisible(cam, visible) {
+    if (visible) this.hiddenCameras.delete(cam);
+    else this.hiddenCameras.add(cam);
+  }
+
+  /** Nearest robot to a canvas click (px), within one robot radius. */
+  hitTest(px, py) {
+    const t = this._transform();
+    let best = null;
+    let bestD = BOT_RADIUS * t.scale * 1.5;
+    for (const [cam, { det }] of this.frames) {
+      if (this.hiddenCameras.has(cam)) continue;
+      for (const [key, team] of [
+        ["robots_yellow", "yellow"],
+        ["robots_blue", "blue"],
+      ]) {
+        for (const bot of det[key] || []) {
+          const d = Math.hypot(
+            t.x(Number(bot.x)) - px,
+            t.y(Number(bot.y)) - py
+          );
+          if (d < bestD) {
+            bestD = d;
+            best = { camera: cam, team, bot };
+          }
+        }
+      }
+    }
+    this.selected = best;
+    return best;
   }
 
   _transform() {
@@ -56,11 +90,27 @@ export class FieldView {
 
     this._drawGeometry(t);
     const now = performance.now();
-    for (const { det, stamp } of this.frames.values()) {
+    for (const [cam, { det, stamp }] of this.frames) {
+      if (this.hiddenCameras.has(cam)) continue;
       const age = (now - stamp) / 1000;
       const alpha = Math.max(0.15, 1 - age / FADE_S);
       this._drawDetection(t, det, alpha);
     }
+    if (this.selected) this._drawSelection(t);
+  }
+
+  _drawSelection(t) {
+    const { ctx } = this;
+    const { bot } = this.selected;
+    const x = t.x(Number(bot.x));
+    const y = t.y(Number(bot.y));
+    ctx.strokeStyle = "rgba(255,255,255,0.9)";
+    ctx.lineWidth = 2;
+    ctx.setLineDash([4, 3]);
+    ctx.beginPath();
+    ctx.arc(x, y, BOT_RADIUS * t.scale * 1.6, 0, 2 * Math.PI);
+    ctx.stroke();
+    ctx.setLineDash([]);
   }
 
   _drawGeometry(t) {
