@@ -217,3 +217,78 @@ def main_cand():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "cand":
     main_cand()
+
+
+def main_pad8():
+    """6 -> 8 channel padding for the disc-stats cumsum (lane alignment)."""
+    _ = np.asarray(jnp.ones((8, 128)) * 2)
+    cfg, raws, packed, scales, offsets, colors, params = build_rig(
+        max_blobs=2000)[:7]
+    bm = cfg.bm
+    raw = jnp.asarray(raws[0])
+    fs = jnp.float32(scales[0])
+    fo = jnp.asarray(offsets[0])
+    grid = bm.make_resample_grid(np.asarray(packed[0]), 150.0,
+                                 field_scale=fs, field_offset=fo)
+    r = bm.disc_radius
+
+    def upstream(raw):
+        flat = F.resample_flat_grid_raw(raw, grid, bm.fmt)
+        grad = B.gradient_dot(flat, bm.grad_offset)
+        circ = B.circularity(B.summed_area_table(grad), bm.sat_radius)
+        return flat, circ
+
+    def disc8(flat, radius):
+        offs = B.disc_offsets(radius)
+        n = len(offs)
+        half_w = {int(dy): int(np.max(offs[offs[:, 0] == dy, 1]))
+                  for dy in range(-radius, radius + 1)}
+        rr = radius
+        padded = jnp.pad(flat, ((rr, rr), (rr, rr + 1), (0, 0)), mode="edge")
+        zero2 = jnp.zeros_like(padded[..., :1])
+        both = jnp.concatenate(
+            [padded, padded * padded, zero2, zero2], axis=-1)  # (.., 8)
+        csum = jnp.cumsum(both, axis=1)
+        zeros = jnp.zeros_like(csum[:, :1])
+        csum = jnp.concatenate([zeros, csum], axis=1)
+        h, w = flat.shape[:2]
+        acc = None
+        for dy in range(-rr, rr + 1):
+            hw = half_w[dy]
+            rows = csum[rr + dy: rr + dy + h]
+            span = rows[:, rr + hw + 1: rr + hw + 1 + w] - \
+                rows[:, rr - hw: rr - hw + w]
+            acc = span if acc is None else acc + span
+        return acc[..., :3], acc[..., 3:6], n
+
+    def consume(flat, circ, s1, s2, n):
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
+        score = circ / jnp.maximum(stddev_sum, 1e-12)
+        masked = jnp.where(
+            (circ >= params["min_circularity"]) & B.local_max_mask(circ),
+            score, -jnp.inf)
+        rs, _ = jax.lax.top_k(masked, 16)
+        return jax.lax.top_k(rs.reshape(-1), bm.max_blobs)[0]
+
+    def p_cur(raw):
+        flat, circ = upstream(raw)
+        s1, s2, n = B.disc_stats_sat(flat, r)
+        return consume(flat, circ, s1, s2, n)
+
+    def p_pad8(raw):
+        flat, circ = upstream(raw)
+        s1, s2, n = disc8(flat, r)
+        return consume(flat, circ, s1, s2, n)
+
+    a = np.asarray(jax.jit(p_cur)(raw))
+    b = np.asarray(jax.jit(p_pad8)(raw))
+    print("pad8 equal:", np.array_equal(a, b))
+    timeit(p_cur, (raw,), "disc stats 6ch (current)")
+    timeit(p_pad8, (raw,), "disc stats 8ch padded")
+    timeit(p_cur, (raw,), "disc stats 6ch (again)")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pad8":
+    main_pad8()
