@@ -319,6 +319,16 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
         rep_times.append(time.perf_counter() - t0)
     host_ms = float(np.median(rep_times)) * 1e3
 
+    # one camera's host finishing alone, serial (what a per-camera-process
+    # deployment pays — NOT host_ms / n: the pooled wall time above already
+    # overlaps the cameras' numpy work)
+    single_times = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        host_only(0)
+        single_times.append(time.perf_counter() - t0)
+    host_single_ms = float(np.median(single_times)) * 1e3
+
     # upload alone: K-differenced device_put of the 4-camera frameset
     def upload_k(k):
         t0 = time.perf_counter()
@@ -330,7 +340,7 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
 
     for s in socks:
         s.close()
-    return serial, pipelined, host_ms, upload_ms
+    return serial, pipelined, host_ms, host_single_ms, upload_ms
 
 
 def main():
@@ -354,7 +364,7 @@ def main():
         rolls, cfg_d, raws_d, *rig_dense[2:7])
     print("bench: dense sustained done", file=sys.stderr, flush=True)
 
-    serial, pipelined, host_ms, upload_ms = measure_production(
+    serial, pipelined, host_ms, host_single_ms, upload_ms = measure_production(
         cfg, raws, packed, scales, offsets, colors, params, cams, geometry)
     print("bench: production loop done", file=sys.stderr, flush=True)
 
@@ -386,11 +396,14 @@ def main():
             "ms_upload_per_frameset_direct_est_4GBps": round(upload_direct_ms, 3),
             "p50_frame_latency_ms_corrected_serial": round(corrected_serial_ms, 3),
             # latency-optimal deployment is one process per camera like the
-            # reference: per-camera work is 1/4 of the batched program
-            # (cameras are unrolled, no shared stages), so its serial frame
-            # latency is the per-camera slice of upload+device+host
+            # reference: the per-camera slice of upload+device (cameras are
+            # unrolled, no shared stages) plus ONE camera's serial host
+            # finishing (measured directly — the pooled host number
+            # overlaps cameras and must not be divided)
             "p50_ms_per_camera_process_derived": round(
-                corrected_serial_ms / n_cams, 3),
+                (upload_direct_ms + dev_frameset_ms) / n_cams
+                + host_single_ms, 3),
+            "ms_host_finishing_single_camera": round(host_single_ms, 3),
             "sustained_ms_corrected_pipelined": round(corrected_pipelined_ms, 3),
             "fps_serial_corrected": round(fps_production, 1),
             "fps_device_only": round(fps_device, 1),

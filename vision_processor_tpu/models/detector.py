@@ -296,8 +296,10 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
 
     # gather each anchor's ring positions once (A*K indices); everything
     # per-combo is then one-hot MXU contractions against the static combo
-    # tables — no (A, C, ...) gathers (winner blobs identical, scores
-    # within fp reassociation, measured ~0.2 ms/camera cheaper)
+    # tables — no (A, C, ...) gathers. Scores match the pairwise form
+    # within fp reassociation (~1e-5), so only exact score TIES between
+    # combos (near-symmetric degenerate rings) can pick a different
+    # rotation of the same constellation; measured ~0.2 ms/camera cheaper
     ring_pos = blob_pos[ring_idx]  # (A, K, 2)
     ring9 = jnp.concatenate([anchor_pos[:, None, :], ring_pos], axis=1)
     n9 = k + 1

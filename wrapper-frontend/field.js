@@ -100,10 +100,22 @@ export class FieldView {
   }
 
   _drawSelection(t) {
+    // re-resolve the selected robot from the CURRENT frame so the ring
+    // follows it; skip (but keep the selection) while its camera is
+    // hidden or the robot is momentarily missing
+    const { camera, team, bot } = this.selected;
+    if (this.hiddenCameras.has(camera)) return;
+    const frame = this.frames.get(camera);
+    if (!frame) return;
+    const key = team === "yellow" ? "robots_yellow" : "robots_blue";
+    const live = (frame.det[key] || []).find(
+      (b) => b.robot_id === bot.robot_id
+    );
+    if (!live) return;
+    this.selected.bot = live;
     const { ctx } = this;
-    const { bot } = this.selected;
-    const x = t.x(Number(bot.x));
-    const y = t.y(Number(bot.y));
+    const x = t.x(Number(live.x));
+    const y = t.y(Number(live.y));
     ctx.strokeStyle = "rgba(255,255,255,0.9)";
     ctx.lineWidth = 2;
     ctx.setLineDash([4, 3]);
