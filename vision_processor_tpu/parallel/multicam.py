@@ -5,7 +5,8 @@ multicast packets, including cross-camera tracking input and clock sync
 (reference README architecture, src/udpsocket.cpp:204-301). The TPU-native
 formulation:
 
-* one chip, N cameras  -> vmap the full step over a leading camera axis
+* one chip, N cameras  -> one program with the camera axis unrolled
+  (batched gathers lower ~2.5x slower than unbatched, so no vmap)
 * N chips              -> shard_map over a 1-D ``Mesh(("cam",))``; each device
   owns its camera's frame, and the cross-camera tracking exchange is a
   ``jax.lax.all_gather`` of compact detection summaries over ICI — the
@@ -108,7 +109,7 @@ def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta):
 
 
 # ---------------------------------------------------------------------------
-# single chip: vmap over cameras
+# single chip: unrolled camera batch
 # ---------------------------------------------------------------------------
 
 
