@@ -70,3 +70,52 @@ def test_cleared_calibration_triggers_recalibration_state(divb_field, overhead_m
     geometry.ClearField("calib")
     proc.geometry_check(960, 720, geometry=geometry, version=2)
     assert proc.perspective.geometry_version == 0
+
+
+def test_resample_grid_cache_keyed_on_projection_inputs(
+    divb_field, overhead_model
+):
+    """The cached sampling geometry must be invalidated by ANY projection
+    input change — including a field-offset/bot-height shift that leaves
+    the rounded flat-grid shape (and thus the compile key) unchanged
+    (regression: the key once omitted field_scale/offset)."""
+    import numpy as np
+
+    from vision_processor_tpu.app.processor import Processor
+    from vision_processor_tpu.utils.config import VisionConfig
+
+    cfg = VisionConfig()
+    cfg.max_blobs = 64
+    proc = Processor(cfg)
+    geometry = divb_field.geometry
+    geometry.ClearField("calib")
+    geometry.calib.append(overhead_model.to_proto(0))
+    proc.geometry_check(960, 720, geometry=geometry, version=1)
+    proc._ensure_step("RGGB", (1440, 1920))
+
+    g1 = proc._resample_grid()
+    assert proc._resample_grid() is g1  # cached
+
+    # same calibration, different bot height -> projection changes
+    class FakeGC:
+        max_bot_height = 160.0
+        yellow_bot_height = 150.0
+        blue_bot_height = 150.0
+
+    proc.gc_socket = FakeGC()
+    g2 = proc._resample_grid()
+    assert g2 is not g1
+    assert not np.array_equal(np.asarray(g1["idx"]), np.asarray(g2["idx"]))
+
+    # a changed BlobMachineConfig value (e.g. field offset) re-keys even
+    # when object identity of the compile key parts stays similar
+    from dataclasses import replace
+
+    proc._bm_cfg = replace(
+        proc._bm_cfg,
+        field_offset=(proc._bm_cfg.field_offset[0] + 100.0,
+                      proc._bm_cfg.field_offset[1]),
+    )
+    g3 = proc._resample_grid()
+    assert g3 is not g2
+    assert not np.array_equal(np.asarray(g2["idx"]), np.asarray(g3["idx"]))
