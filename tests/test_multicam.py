@@ -189,3 +189,49 @@ def test_sharded_step_8_devices(divb_field):
     )
     valid = np.asarray(det["bot_valid"]).reshape(n, -1)
     assert (valid.sum(axis=1) == 1).all()
+
+
+def test_sharded_step_two_cams_per_device(divb_field):
+    """8 cameras sharded over a 4-device mesh (2 per chip): the production
+    shape for a large rig on a small pod. Every camera's bot is detected
+    and the all_gathered summary covers the whole fleet."""
+    n_cams, n_dev = 8, 4
+    cams = make_rig(divb_field, n_cams)
+    scenes = []
+    for cam_id, (model, persp) in enumerate(cams):
+        lo = persp.visible_field_extent
+        cx = (lo[0] + lo[1]) / 2
+        cy = (lo[2] + lo[3]) / 2
+        scenes.append(
+            Scene(bots=[SceneBot(cam_id, "yellow", cx, cy, 0.2 * cam_id)], balls=[])
+        )
+    raws = np.stack(
+        [
+            render_raw(model, divb_field.geometry.field, scene, "RGGB")
+            for (model, _), scene in zip(cams, scenes)
+        ]
+    )
+    cfg = build_cfg(cams, n_cams, raws.shape[1:])
+    packed = np.stack([m.packed() for m, _ in cams])
+    scales = np.array([p.field_scale for _, p in cams], dtype=np.float32)
+    offsets = np.stack(
+        [
+            np.array([p.visible_field_extent[0], p.visible_field_extent[2]],
+                     dtype=np.float32)
+            for _, p in cams
+        ]
+    )
+    colors = np.stack([_default_colors() for _ in range(n_cams)])
+
+    mesh = M.make_camera_mesh(jax.devices()[:n_dev])
+    step = M.sharded_step(cfg, mesh)
+    prev = M.empty_summary(cfg)
+    blobs, det, gathered = step(
+        raws, packed, scales, offsets, colors, prev, params())
+
+    valid = np.asarray(det["bot_valid"]).reshape(n_cams, -1)
+    assert (valid.sum(axis=1) == 1).all()
+    ids = np.asarray(gathered["id"])
+    assert ids.shape[:2] == (n_dev, n_cams // n_dev)
+    found = {int(i) for i in ids[ids >= 0]}
+    assert found == set(range(n_cams))

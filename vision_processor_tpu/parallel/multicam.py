@@ -227,35 +227,48 @@ def make_camera_mesh(devices=None) -> Mesh:
 
 
 def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
-    """Returns a jitted fn with one camera per device.
+    """Returns a jitted fn sharding ``cfg.n_cams`` cameras over the mesh.
 
-    Per-device: local blob machine + hypothesis search. The detection
-    summaries are all-gathered over ICI so every camera's next frame can
-    track every robot on the field.
+    Each device owns ``n_cams / n_devices`` cameras (the production shape
+    for a large rig on a small pod — e.g. 8 cameras on 4 chips) and runs
+    their blob machines + hypothesis searches unrolled like the single-chip
+    batch. The detection summaries are all-gathered over ICI so every
+    camera's next frame can track every robot on the field.
     """
+    n_dev = int(np.prod(mesh.devices.shape))
+    if cfg.n_cams % n_dev:
+        raise ValueError(
+            f"n_cams={cfg.n_cams} must divide over {n_dev} devices"
+        )
+    n_local = cfg.n_cams // n_dev
 
     def per_device(raw, packed_cam, field_scale, field_offset, colors7, prev_gathered, params):
-        # raw etc. arrive with a leading local shard axis of size 1
+        # inputs arrive with a leading local shard axis of size n_local
         tracked = tracked_from_summaries(
             cfg.det, prev_gathered, params["tracked_time_delta"]
         )
-        blobs, det, summary = _single_cam_step(
-            cfg,
-            raw[0],
-            packed_cam[0],
-            field_scale[0],
-            field_offset[0],
-            colors7[0],
-            tracked,
-            params,
-            rs_grid=None,  # single-shot call: projection stays in-line
+        outs = [
+            _single_cam_step(
+                cfg,
+                raw[i],
+                packed_cam[i],
+                field_scale[i],
+                field_offset[i],
+                colors7[i],
+                tracked,
+                params,
+                rs_grid=None,  # single-shot call: projection stays in-line
+            )
+            for i in range(n_local)
+        ]
+        blobs, det, summary = (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+            for group in zip(*outs)
         )
-        # ICI collective: share this camera's detections with the fleet
+        # ICI collective: share this shard's detections with the fleet
         gathered = jax.tree.map(
             lambda x: jax.lax.all_gather(x, CAM_AXIS), summary
         )
-        blobs = jax.tree.map(lambda x: x[None], blobs)
-        det = jax.tree.map(lambda x: x[None], det)
         return blobs, det, gathered
 
     spec_cam = P(CAM_AXIS)
@@ -283,40 +296,59 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
     across camera boundaries is observable.
     """
 
+    n_dev_r = int(np.prod(mesh.devices.shape))
+    if cfg.n_cams % n_dev_r:
+        raise ValueError(
+            f"n_cams={cfg.n_cams} must divide over {n_dev_r} devices"
+        )
+    n_local = cfg.n_cams // n_dev_r
+
     def per_device(bank, packed_cam, field_scale, field_offset, colors7, params):
-        # bank arrives (n_frames, 1, ...) — this camera's frame sequence
+        # bank arrives (n_frames, n_local, ...) — this shard's cameras
         from ..ops import frame as F
 
         # frame-invariant sampling geometry, hoisted out of the scan
-        grid = F.resample_grid(
-            packed_cam[0], params["max_bot_height"], field_scale[0],
-            field_offset[0], cfg.bm.flat_shape, cfg.bm.plane_shape,
-        )
+        grids = [
+            F.resample_grid(
+                packed_cam[i], params["max_bot_height"], field_scale[i],
+                field_offset[i], cfg.bm.flat_shape, cfg.bm.plane_shape,
+            )
+            for i in range(n_local)
+        ]
 
         def body(gathered, raw):
             tracked = tracked_from_summaries(
                 cfg.det, gathered, params["tracked_time_delta"]
             )
-            _, det, summary = _single_cam_step(
-                cfg, raw[0], packed_cam[0], field_scale[0],
-                field_offset[0], colors7[0], tracked, params,
-                rs_grid=grid,
+            outs = [
+                _single_cam_step(
+                    cfg, raw[i], packed_cam[i], field_scale[i],
+                    field_offset[i], colors7[i], tracked, params,
+                    rs_grid=grids[i],
+                )[1:]
+                for i in range(n_local)
+            ]
+            det, summary = (
+                jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                for group in zip(*outs)
             )
             nxt = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, CAM_AXIS), summary
             )
             out = {
-                "bot_tracked_id": det["bot_tracked_id"][None],
-                "bot_valid": det["bot_valid"][None],
-                "bot_pos": det["bot_pos"][None],
-                "summary_id": nxt["id"],
-                "summary_pos": nxt["pos"],
+                "bot_tracked_id": det["bot_tracked_id"],
+                "bot_valid": det["bot_valid"],
+                "bot_pos": det["bot_pos"],
+                # flatten (n_dev, n_local, ...) -> (n_cams, ...) so the
+                # observable summary shape is device-layout independent
+                "summary_id": nxt["id"].reshape(cfg.n_cams, -1),
+                "summary_pos": nxt["pos"].reshape(cfg.n_cams, -1, 2),
             }
             return nxt, out
 
         init = jax.tree.map(
             lambda x: jax.lax.all_gather(x, CAM_AXIS),
-            jax.tree.map(lambda x: x[0], _empty_summary_local(cfg)),
+            _empty_summary_local(cfg, n_local),
         )
         _, outs = jax.lax.scan(body, init, bank)
         return outs
@@ -339,13 +371,13 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
     return jax.jit(fn)
 
 
-def _empty_summary_local(cfg: MultiCamConfig) -> dict:
+def _empty_summary_local(cfg: MultiCamConfig, n_local: int = 1) -> dict:
     b = cfg.det.max_bots
     return {
-        "pos": jnp.zeros((1, b, 2), dtype=jnp.float32),
-        "orientation": jnp.zeros((1, b), dtype=jnp.float32),
-        "score": jnp.zeros((1, b), dtype=jnp.float32),
-        "id": jnp.full((1, b), -1, dtype=jnp.int32),
+        "pos": jnp.zeros((n_local, b, 2), dtype=jnp.float32),
+        "orientation": jnp.zeros((n_local, b), dtype=jnp.float32),
+        "score": jnp.zeros((n_local, b), dtype=jnp.float32),
+        "id": jnp.full((n_local, b), -1, dtype=jnp.int32),
     }
 
 
