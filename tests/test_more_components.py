@@ -121,7 +121,9 @@ def test_make_rollout_device_loop(divb_field):
     colors = jnp.asarray(np.stack([ColorState().packed()] * 2))
 
     roll = M.make_rollout(cfg, step, 4)
-    (_, summary), compact = roll(bank, packed, scales, offsets, colors, params())
+    (_, summary, _prev), compact = roll(
+        bank, packed, scales, offsets, colors, params()
+    )
     jax.block_until_ready(compact)
     valid = np.asarray(compact["bot_valid"])  # (4 frames, 2 cams, B)
     assert valid.shape[0] == 4

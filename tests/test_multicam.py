@@ -235,3 +235,39 @@ def test_sharded_step_two_cams_per_device(divb_field):
     assert ids.shape[:2] == (n_dev, n_cams // n_dev)
     found = {int(i) for i in ids[ids >= 0]}
     assert found == set(range(n_cams))
+
+
+def test_tracked_from_summaries_velocities():
+    """With two consecutive summaries, the device-loop tracked prior gets
+    per-id finite-difference velocities (the extrapolation input of the
+    tracked search); unmatched or fresh ids stay at zero."""
+    from vision_processor_tpu.models.detector import DetectorConfig
+
+    det = DetectorConfig(max_blobs=32, max_tracked=8)
+    b = det.max_bots
+
+    def summary(entries):
+        out = {
+            "pos": np.zeros((2, b, 2), np.float32),
+            "orientation": np.zeros((2, b), np.float32),
+            "score": np.zeros((2, b), np.float32),
+            "id": np.full((2, b), -1, np.int32),
+        }
+        for cam, slot, i, x, y in entries:
+            out["pos"][cam, slot] = (x, y)
+            out["score"][cam, slot] = 0.9
+            out["id"][cam, slot] = i
+        return {k: jnp.asarray(v) for k, v in out.items()}
+
+    prev = summary([(0, 0, 5, 100.0, 200.0)])
+    cur = summary([(0, 0, 5, 140.0, 180.0), (1, 0, 7, 0.0, 0.0)])
+    tr = M.tracked_from_summaries(det, cur, 0.02, prev_summaries=prev)
+    ids = np.asarray(tr["id"])
+    i5 = list(ids).index(5)
+    i7 = list(ids).index(7)
+    assert np.asarray(tr["vx"])[i5] == pytest.approx((140.0 - 100.0) / 0.02)
+    assert np.asarray(tr["vy"])[i5] == pytest.approx((180.0 - 200.0) / 0.02)
+    assert np.asarray(tr["vx"])[i7] == 0.0  # id 7 is new: no history
+    # without history: zero velocities
+    tr0 = M.tracked_from_summaries(det, cur, 0.02)
+    assert not np.asarray(tr0["vx"]).any()

@@ -75,14 +75,17 @@ def _single_cam_step(
     return out_blobs, det, summary
 
 
-def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta):
+def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta,
+                           prev_summaries=None):
     """Build tracked-bot arrays from (all cameras') detection summaries.
 
     summaries: dict of stacked (n_cams, B, ...) arrays from the previous
-    frame. Keeps the top ``max_tracked`` by score. Velocities are zero —
-    the device loop re-detects every frame, so the tracked prior is the
-    last known pose (the host loop supplies finite-difference velocities
-    through the UDP tracker instead).
+    frame. Keeps the top ``max_tracked`` by score. With
+    ``prev_summaries`` (the frame before that), per-id finite-difference
+    velocities feed the tracked search's extrapolation — the device-loop
+    analogue of the UDP tracker's velocities on the host path (reference
+    src/main.cpp:93-95 extrapolates the search center by v*dt); without
+    it velocities are zero (pure last-known-pose prior).
     """
     t = det_cfg.max_tracked
     pos = summaries["pos"].reshape(-1, 2)
@@ -93,15 +96,33 @@ def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta):
 
     top_score, top_i = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), t)
     keep = top_score > 0.0
+    sel_ids = jnp.where(keep, ids[top_i], -1).astype(jnp.int32)
+    sel_x = pos[top_i, 0]
+    sel_y = pos[top_i, 1]
     zero = jnp.zeros(t, dtype=jnp.float32)
+    vx = vy = zero
+    if prev_summaries is not None:
+        ppos = prev_summaries["pos"].reshape(-1, 2)
+        pscore = prev_summaries["score"].reshape(-1)
+        pids = prev_summaries["id"].reshape(-1)
+        pvalid = (pscore > 0.0) & (pids >= 0)
+        # first previous-frame observation of each selected id
+        match = (sel_ids[:, None] == pids[None, :]) & pvalid[None, :] & (
+            sel_ids[:, None] >= 0
+        )
+        found = jnp.any(match, axis=1)
+        j = jnp.argmax(match, axis=1)
+        dt = jnp.maximum(jnp.float32(time_delta), 1e-4)
+        vx = jnp.where(found, (sel_x - ppos[j, 0]) / dt, 0.0)
+        vy = jnp.where(found, (sel_y - ppos[j, 1]) / dt, 0.0)
     return {
-        "id": jnp.where(keep, ids[top_i], -1).astype(jnp.int32),
-        "x": pos[top_i, 0],
-        "y": pos[top_i, 1],
+        "id": sel_ids,
+        "x": sel_x,
+        "y": sel_y,
         "z": jnp.full(t, 143.0, dtype=jnp.float32),
         "w": orient[top_i],
-        "vx": zero,
-        "vy": zero,
+        "vx": vx,
+        "vy": vy,
         "vw": zero,
         "time_delta": jnp.full(t, time_delta, dtype=jnp.float32),
         "valid": keep,
@@ -162,9 +183,10 @@ def batched_step(cfg: MultiCamConfig):
     """
 
     def step(raws, packed_cams, field_scales, field_offsets, colors7,
-             prev_summary, params, rs_grids=None):
+             prev_summary, params, rs_grids=None, prev_prev_summary=None):
         tracked = tracked_from_summaries(
-            cfg.det, prev_summary, params["tracked_time_delta"]
+            cfg.det, prev_summary, params["tracked_time_delta"],
+            prev_summaries=prev_prev_summary,
         )
         # cameras are unrolled rather than vmapped: XLA lowers BATCHED
         # gathers (the resampling + hypothesis lookups) ~2.5x slower than
@@ -316,9 +338,11 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
             for i in range(n_local)
         ]
 
-        def body(gathered, raw):
+        def body(carry, raw):
+            gathered, prev_gathered = carry
             tracked = tracked_from_summaries(
-                cfg.det, gathered, params["tracked_time_delta"]
+                cfg.det, gathered, params["tracked_time_delta"],
+                prev_summaries=prev_gathered,
             )
             outs = [
                 _single_cam_step(
@@ -344,13 +368,13 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
                 "summary_id": nxt["id"].reshape(cfg.n_cams, -1),
                 "summary_pos": nxt["pos"].reshape(cfg.n_cams, -1, 2),
             }
-            return nxt, out
+            return (nxt, gathered), out
 
-        init = jax.tree.map(
+        empty = jax.tree.map(
             lambda x: jax.lax.all_gather(x, CAM_AXIS),
             _empty_summary_local(cfg, n_local),
         )
-        _, outs = jax.lax.scan(body, init, bank)
+        _, outs = jax.lax.scan(body, (empty, empty), bank)
         return outs
 
     spec_cam = P(CAM_AXIS)
@@ -409,22 +433,22 @@ def make_rollout(cfg: MultiCamConfig, step_fn, n_frames: int):
         )
 
         def body(carry, _):
-            i, prev_summary = carry
+            i, prev_summary, prev_prev = carry
             raws = jax.lax.dynamic_index_in_dim(
                 raw_bank, i % n_bank, axis=0, keepdims=False
             )
             blobs, det, summary = step_fn(
                 raws, packed_cams, field_scales, field_offsets, colors7,
-                prev_summary, params, grids,
+                prev_summary, params, grids, prev_prev,
             )
             compact = {
                 "count": blobs["count"],
                 "bot_valid": det["bot_valid"],
                 "bot_pos": det["bot_pos"],
             }
-            return (i + 1, summary), compact
+            return (i + 1, summary, prev_summary), compact
 
-        init = (jnp.int32(0), empty_summary(cfg))
+        init = (jnp.int32(0), empty_summary(cfg), empty_summary(cfg))
         return jax.lax.scan(body, init, None, length=n_frames)
 
     return jax.jit(scan_fn)
