@@ -159,7 +159,7 @@ def gather_corners_pallas(stacked, y0, x0, interpret: bool = False):
                 lambda t, rs, cs: (t // ntx, t % ntx),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (TILE_H, TILE_W, CH),
