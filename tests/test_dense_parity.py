@@ -211,6 +211,122 @@ def test_full_detect_finds_all_bots_in_dense_scene():
         assert d < 5.0, f"robot at {center} missing (nearest kept {d:.1f} mm)"
 
 
+def test_detection_parity_with_production_anchor_cap_binding():
+    """The production max_anchors=512 cap, actually BINDING (1600 blobs),
+    against the uncapped oracle. The scene packs 1560 spurious blobs into
+    the highest extraction-score slots — under the old score-order anchor
+    window, ZERO true robot centers would be anchored and the untracked
+    path would find nothing. Anchor ranking by center-color plausibility
+    must keep every true center in the window and reproduce the oracle's
+    best hypothesis exactly (reference src/main.cpp:63-75 anchors every
+    blob)."""
+    rng = np.random.default_rng(11)
+    packed_colors, pos, col, valid, anchors, bot_truth = build_scene(
+        rng, n_bots=8, n_spurious=1560
+    )
+    n = len(pos)
+    cfg = DetectorConfig(max_blobs=n)  # max_anchors stays at the default
+    assert cfg.max_anchors == 512 < n, "cap must bind for this test"
+    assert min(anchors) >= cfg.max_anchors, (
+        "every true center must sit beyond the naive anchor window"
+    )
+
+    det = detection_hypotheses(
+        cfg, pos, valid, np.float32(MAX_ROBOT_RADIUS),
+        blob_color=col, colors=packed_colors[:6],
+    )
+    det = {k: np.asarray(v) for k, v in det.items()}
+
+    # map global blob index -> anchor row
+    row_of = {int(g): r for r, g in enumerate(det["blob_idx"][:, 0])}
+    oracle = oracle_detection(pos, valid, anchors)
+    for a in anchors:
+        o_score, o_hyp = oracle[a]
+        assert o_score > 0.5, "oracle must find every planted robot"
+        assert a in row_of, (
+            f"true center blob {a} was not selected as an anchor"
+        )
+        r = row_of[a]
+        d_score = float(det["score"][r])
+        assert d_score == pytest.approx(o_score, rel=1e-4), (
+            f"anchor {a}: capped score {d_score} vs oracle {o_score}"
+        )
+        o_orient, o_pos, o_sides = o_hyp
+        assert float(det["orientation"][r]) == pytest.approx(o_orient, abs=1e-4)
+        assert np.allclose(det["pos"][r], o_pos, atol=0.1)
+        assert sorted(int(j) for j in det["blob_idx"][r][1:]) == sorted(o_sides)
+
+
+def test_full_detect_at_production_caps_dense_scene():
+    """End-to-end detect() at FULL production defaults (max_anchors=512
+    binding, max_blobs=2000-scale scene): all planted robots must survive
+    score filtering and clipping NMS (perfect recall), and every OTHER
+    emitted bot must be a legitimate reference-semantics hypothesis — a
+    blob constellation whose reference score5 matches the emitted score.
+    (1560 random blobs genuinely contain pattern-shaped noise clusters;
+    the reference's geometric-only detection scoring emits those too,
+    reference src/main.cpp:143-241 — no color gate on the untracked path —
+    so asserting zero false positives would be stricter than the
+    reference, not parity with it.)"""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    packed_colors, pos, col, valid, anchors, bot_truth = build_scene(
+        rng, n_bots=8, n_spurious=1560
+    )
+    n = len(pos)
+    cfg = DetectorConfig(max_blobs=n)
+    assert cfg.max_anchors < n
+
+    blobs = {
+        "field_pos": jnp.asarray(pos),
+        "color": jnp.asarray(col),
+        "valid": jnp.asarray(valid),
+    }
+    tracked = {
+        "id": jnp.full(cfg.max_tracked, -1, jnp.int32),
+        "x": jnp.zeros(cfg.max_tracked), "y": jnp.zeros(cfg.max_tracked),
+        "z": jnp.zeros(cfg.max_tracked), "w": jnp.zeros(cfg.max_tracked),
+        "vx": jnp.zeros(cfg.max_tracked), "vy": jnp.zeros(cfg.max_tracked),
+        "vw": jnp.zeros(cfg.max_tracked),
+        "time_delta": jnp.zeros(cfg.max_tracked),
+        "valid": jnp.zeros(cfg.max_tracked, bool),
+    }
+    params = {
+        "max_bot_height": jnp.float32(150.0),
+        "max_robot_radius": jnp.float32(MAX_ROBOT_RADIUS),
+        "min_tracking_radius": jnp.float32(20.0),
+        "max_bot_acceleration": jnp.float32(6500.0),
+        "min_confidence": jnp.float32(0.2),
+        "clipping_tolerance": jnp.float32(10.0),
+        "ball_radius": jnp.float32(21.5),
+    }
+    cam = np.zeros(18, dtype=np.float32)
+    cam[0] = 900.0
+    cam[4] = 1.0
+    out = detect(cfg, blobs, tracked, jnp.asarray(packed_colors[:6]), cam, params)
+    kept = np.asarray(out["bot_valid"])
+    kept_pos = np.asarray(out["bot_pos"])[kept]
+    kept_score = np.asarray(out["bot_score"])[kept]
+    kept_idx = np.asarray(out["bot_blob_idx"])[kept]
+    assert len(kept_pos) >= len(bot_truth)
+    # perfect recall: every planted robot present
+    for _, center, _ in bot_truth:
+        d = np.min(np.linalg.norm(kept_pos - center, axis=-1))
+        assert d < 5.0, f"robot at {center} missing (nearest kept {d:.1f} mm)"
+    # reference-parity precision: every emitted bot (incl. noise-cluster
+    # false positives the reference would emit too) scores identically
+    # under the reference's own hypothesis scoring
+    for r in range(len(kept_pos)):
+        pos5 = pos[kept_idx[r]]
+        _, o_pos, o_score, _ = score5(pos5)
+        assert kept_score[r] == pytest.approx(o_score, rel=1e-3), (
+            f"kept bot {r}: score {kept_score[r]} vs reference {o_score}"
+        )
+        assert np.allclose(kept_pos[r], o_pos, atol=0.2)
+        assert o_score > float(params["min_confidence"])
+
+
 def oracle_tracked(blob_pos, blob_valid, blob_color, packed_colors,
                    pred_xy, pred_w, bot_id, search_radius):
     """Uncapped tracked search: full cross product of ALL in-radius

@@ -239,10 +239,34 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     Returns dict with per-anchor (A,) score/orientation, (A, 2) pos and
     (A, 5) global blob indices (slot 0 = the anchor itself).
     """
-    a = min(cfg.max_anchors, blob_pos.shape[0])
+    k_all = blob_pos.shape[0]
+    a = min(cfg.max_anchors, k_all)
     k = cfg.ring_size
-    anchor_pos = blob_pos[:a]
-    anchor_valid = blob_valid[:a]
+
+    # Anchor selection. The reference anchors EVERY blob (reference
+    # src/main.cpp:63-75); max_anchors bounds the tensor shape. When the cap
+    # binds, anchors are ranked by center-color plausibility — distance to
+    # the nearer of the yellow/blue team colors (the anchor is the center
+    # blob of the candidate robot) — with extraction-score order as the
+    # tie-break, exactly like the ring-member ranking below. Plain
+    # score-order anchoring is adversarially unsound: a dense scene can
+    # pack >max_anchors spurious high-score blobs into the leading slots
+    # and starve every true robot center out of the anchor window.
+    if a < k_all and blob_color is not None and colors is not None:
+        yellow, blue = colors[2], colors[3]
+        d_center = jnp.minimum(
+            jnp.sum((blob_color - yellow) ** 2, axis=-1),
+            jnp.sum((blob_color - blue) ** 2, axis=-1),
+        )
+        a_rank = jnp.where(blob_valid, d_center, jnp.inf)
+        # stable argsort: equal distances keep extraction-score order
+        anchor_idx = jnp.argsort(a_rank)[:a].astype(jnp.int32)
+        anchor_pos = blob_pos[anchor_idx]
+        anchor_valid = blob_valid[anchor_idx]
+    else:
+        anchor_idx = jnp.arange(a, dtype=jnp.int32)
+        anchor_pos = blob_pos[:a]
+        anchor_valid = blob_valid[:a]
 
     diff = blob_pos[None, :, :] - anchor_pos[:, None, :]  # (A, k_all, 2)
     dist2 = jnp.sum(diff * diff, axis=-1)
@@ -362,9 +386,8 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     best_combo = jnp.asarray(combos_np)[best]  # (A, 4) ring slot indices
     best_sides = jnp.take_along_axis(ring_idx, best_combo, axis=1)
 
-    anchor_ids = jnp.arange(a, dtype=jnp.int32)
     blob_idx5 = jnp.concatenate(
-        [anchor_ids[:, None], best_sides.astype(jnp.int32)], axis=-1
+        [anchor_idx[:, None], best_sides.astype(jnp.int32)], axis=-1
     )
     return {
         "score": best_score,
@@ -697,7 +720,7 @@ def detect(
     }
 
 
-def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 8):
+def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 24):
     """Vectorized guarded 2-means over the 4 side-blob colors of each bot.
 
     Mirrors the host kmeans2 / reference kMeans semantics exactly
@@ -706,6 +729,11 @@ def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 8):
     centers from the nearest members, keep the previous centers on
     degenerate assignments or when the split is weaker than half the
     contrast distance. Integer (floor-toward-zero) mean division preserved.
+
+    The iteration cap matches the host kmeans2_batch (24); 4-point inputs
+    converge in a handful of steps, so the extra unrolled iterations are
+    nearly free and keep the in-graph first-pass ids bit-identical to the
+    host recalc even for slow-converging color sets.
 
     contrast (B, 3), vals (B, 4, 3), c1/c2 (3,) int32. Returns (B, 3) x2.
     """
