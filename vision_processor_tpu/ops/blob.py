@@ -192,6 +192,29 @@ def subpixel_peak(neg: jnp.ndarray, center: jnp.ndarray, pos: jnp.ndarray) -> jn
     return jnp.where(denom != 0, 0.5 * (neg - pos) / denom, 0.0)
 
 
+def disc_stats_at(flat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
+                  radius: int):
+    """Disc sums of value and value^2 at K candidate pixels only.
+
+    Direct gathers of the ~pi*r^2 disc taps per candidate (clamp-to-edge,
+    matching the reference's CLK_ADDRESS_CLAMP_TO_EDGE reads,
+    reference kernel/blobList.cl:58-75 — which also computes the stats
+    only at surviving pixels, never over the full image). K*|disc| short
+    gather rows are ~100x less HBM traffic than full-image span sums when
+    K*|disc| << H*W (TPU gather cost scales with bytes fetched, not with
+    arithmetic saved — see PERFORMANCE.md gather facts).
+
+    Returns (s1 (K,3), s2 (K,3), n)."""
+    h, w = flat.shape[:2]
+    offs = disc_offsets(radius)
+    n = len(offs)
+    yy = jnp.clip(iy[:, None] + offs[None, :, 0], 0, h - 1)  # (K, n)
+    xx = jnp.clip(ix[:, None] + offs[None, :, 1], 0, w - 1)
+    v = flat.reshape(-1, flat.shape[-1])[(yy * w + xx).reshape(-1)]
+    v = v.reshape(iy.shape[0], n, flat.shape[-1])
+    return jnp.sum(v, axis=1), jnp.sum(v * v, axis=1), n
+
+
 @partial(jax.jit, static_argnames=("radius", "max_blobs"))
 def extract_blobs(
     flat: jnp.ndarray,
@@ -203,9 +226,18 @@ def extract_blobs(
 ):
     """Blob extraction and compaction.
 
-    Thresholds the circularity map, keeps 4-neighbor local maxima, computes
-    disc color mean/stddev and score = circ / sum(stddev), then compacts the
-    surviving pixels into `max_blobs` slots by descending score.
+    Thresholds the circularity map, keeps 4-neighbor local maxima, compacts
+    the surviving pixels into `max_blobs` slots by descending circularity,
+    computes disc color mean/stddev and score = circ / sum(stddev) at those
+    candidates only (like the reference, which runs the disc loop only for
+    pixels that survive the threshold + local-max test,
+    reference kernel/blobList.cl:48-75), then orders the slots by
+    descending score.
+
+    When more pixels pass the filters than there are slots, the kept set is
+    the circularity top-k — a deterministic, strictly stronger rule than
+    the reference's arbitrary atomic-append truncation at maxBlobs
+    (reference kernel/blobList.cl:87-91).
 
     Returns a dict:
       pos    (k, 2) f32 sub-pixel flat-grid coordinates (x, y)
@@ -214,23 +246,14 @@ def extract_blobs(
       circ   (k,)   f32 circularity response
       score  (k,)   f32 circ / sum(stddev)
       valid  (k,)   bool slot holds a real blob
-      count  ()     i32 number of pixels passing all filters (may exceed k)
+      count  ()     i32 number of pixels passing threshold+local-max
     """
     h, w = circ.shape
-    s1, s2, n = disc_stats_sat(flat, radius)
-    mean = s1 / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
-    stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
-    score = circ / jnp.maximum(stddev_sum, 1e-12)
 
-    valid = (
-        (circ >= circ_threshold)
-        & local_max_mask(circ)
-        & (score >= min_score)
-    )
+    valid = (circ >= circ_threshold) & local_max_mask(circ)
     count = jnp.sum(valid, dtype=jnp.int32)
 
-    masked = jnp.where(valid, score, -jnp.inf)
+    masked = jnp.where(valid, circ, -jnp.inf)
     # two-stage compaction: per-row top-m, then global top-k over the
     # surviving candidates — ~4x cheaper than a single 519k-element top_k.
     # A row contributing more than m global winners loses the excess; m is
@@ -241,17 +264,25 @@ def extract_blobs(
     m = min(w, max(16, -(-4 * max_blobs // h)))
     row_scores, row_idx = jax.lax.top_k(masked, m)  # (h, m)
     cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
-    top_scores, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
+    top_circ, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
     idx = cand_idx[ci]
-    slot_valid = top_scores > -jnp.inf
+    slot_valid = top_circ > -jnp.inf
 
     iy = idx // w
     ix = idx % w
 
+    # candidate-local color statistics (reference blobList semantics)
+    s1, s2, n = disc_stats_at(flat, iy, ix, radius)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
+    c0 = jnp.where(slot_valid, top_circ, 0.0)
+    score = c0 / jnp.maximum(stddev_sum, 1e-12)
+    slot_valid &= score >= min_score
+
     def gather2d(img, yy, xx):
         return img.reshape(-1, *img.shape[2:])[yy * w + xx]
 
-    c0 = gather2d(circ, iy, ix)
     cnx = gather2d(circ, iy, jnp.maximum(ix - 1, 0))
     cpx = gather2d(circ, iy, jnp.minimum(ix + 1, w - 1))
     cny = gather2d(circ, jnp.maximum(iy - 1, 0), ix)
@@ -260,12 +291,19 @@ def extract_blobs(
     px = ix.astype(jnp.float32) + subpixel_peak(cnx, c0, cpx)
     py = iy.astype(jnp.float32) + subpixel_peak(cny, c0, cpy)
 
+    # downstream consumes slots in descending-score order (the detector's
+    # ring/anchor tie-breaks key on slot position)
+    sort_score, order = jax.lax.top_k(
+        jnp.where(slot_valid, score, -jnp.inf), max_blobs
+    )
+    slot_valid = sort_score > -jnp.inf
+
     return {
-        "pos": jnp.stack([px, py], axis=-1),
-        "color": gather2d(mean, iy, ix),
-        "center": gather2d(flat, iy, ix),
-        "circ": c0,
-        "score": jnp.where(slot_valid, top_scores, 0.0),
+        "pos": jnp.stack([px, py], axis=-1)[order],
+        "color": mean[order],
+        "center": gather2d(flat, iy, ix)[order],
+        "circ": c0[order],
+        "score": jnp.where(slot_valid, sort_score, 0.0),
         "valid": slot_valid,
         "count": count,
     }
