@@ -237,6 +237,72 @@ def test_sharded_step_two_cams_per_device(divb_field):
     assert found == set(range(n_cams))
 
 
+def test_per_camera_params(rig2):
+    """Per-camera tunables as (N,) arrays: camera 1 gets an impossible
+    min_circularity and must see zero blobs while camera 0 (normal
+    threshold) still detects its bot — the reference's per-process config
+    independence (reference src/Resources.cpp:188-214)."""
+    cfg, raws, packed, scales, offsets, colors = rig2
+    step = M.batched_step(cfg)
+    prev = M.empty_summary(cfg)
+    p = params()
+    p["min_circularity"] = jnp.asarray([15.0, 1e9], dtype=jnp.float32)
+    blobs, det, summary = step(raws, packed, scales, offsets, colors, prev, p)
+    count = np.asarray(blobs["count"])
+    assert count[0] >= 6  # cam 0 unaffected
+    assert count[1] == 0  # cam 1's threshold filtered everything
+    assert np.asarray(det["bot_valid"][0]).sum() == 1
+    assert np.asarray(det["bot_valid"][1]).sum() == 0
+
+
+def test_tracked_from_summaries_dedup_and_heights():
+    """Overlap-region dedup: the same bot id observed by 3 cameras must
+    occupy ONE tracked slot (best score wins) so distinct robots are not
+    evicted; z comes from the GC team heights; vw is finite-differenced."""
+    det = DetectorConfig(max_blobs=32, max_tracked=2)
+    b = det.max_bots
+
+    def summary(entries):
+        out = {
+            "pos": np.zeros((3, b, 2), np.float32),
+            "orientation": np.zeros((3, b), np.float32),
+            "score": np.zeros((3, b), np.float32),
+            "id": np.full((3, b), -1, np.int32),
+        }
+        for cam, slot, i, x, y, sc, w in entries:
+            out["pos"][cam, slot] = (x, y)
+            out["orientation"][cam, slot] = w
+            out["score"][cam, slot] = sc
+            out["id"][cam, slot] = i
+        return {k: jnp.asarray(v) for k, v in out.items()}
+
+    # bot 5 (yellow) seen by all 3 cameras; bot 21 (blue) by one camera
+    # with the LOWEST score of the four entries. max_tracked=2: without
+    # dedup, bot 5's three observations evict bot 21 entirely.
+    cur = summary([
+        (0, 0, 5, 100.0, 200.0, 0.9, 0.50),
+        (1, 0, 5, 101.0, 201.0, 0.95, 0.51),
+        (2, 0, 5, 99.0, 199.0, 0.85, 0.49),
+        (2, 1, 21, -500.0, 300.0, 0.4, -1.0),
+    ])
+    prev = summary([(1, 0, 5, 91.0, 191.0, 0.95, 0.31)])
+    tr = M.tracked_from_summaries(
+        det, cur, 0.02, prev_summaries=prev, bot_heights=(147.0, 139.0)
+    )
+    ids = sorted(int(i) for i in np.asarray(tr["id"]) if i >= 0)
+    assert ids == [5, 21], f"dedup failed: tracked ids {ids}"
+    i5 = list(np.asarray(tr["id"])).index(5)
+    i21 = list(np.asarray(tr["id"])).index(21)
+    # best-score observation of bot 5 wins (camera 1)
+    assert np.asarray(tr["x"])[i5] == pytest.approx(101.0)
+    # GC team heights: yellow id 5 -> 147, blue id 21 -> 139
+    assert np.asarray(tr["z"])[i5] == pytest.approx(147.0)
+    assert np.asarray(tr["z"])[i21] == pytest.approx(139.0)
+    # angular velocity finite difference for the matched id
+    assert np.asarray(tr["vw"])[i5] == pytest.approx((0.51 - 0.31) / 0.02)
+    assert np.asarray(tr["vw"])[i21] == 0.0
+
+
 def test_tracked_from_summaries_velocities():
     """With two consecutive summaries, the device-loop tracked prior gets
     per-id finite-difference velocities (the extrapolation input of the

@@ -24,10 +24,34 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.detector import DetectorConfig, detect, estimate_bot_ids
+from ..models.detector import TWO_PI, DetectorConfig, detect, estimate_bot_ids
 from ..ops.pipeline import BlobMachineConfig, blob_machine
 
 CAM_AXIS = "cam"
+
+# Tunables that may legitimately differ between cameras of one fleet — the
+# reference's process-per-camera model gives every camera its own config
+# (reference src/Resources.cpp:188-214). A params dict may carry these as
+# scalars (shared) or as (n_cams,) arrays (per-camera); params_for_cam
+# slices the per-camera form for one camera's unrolled step.
+_PER_CAMERA_PARAM_KEYS = frozenset({
+    "min_circularity",
+    "min_tracking_radius",
+    "max_bot_acceleration",
+    "min_confidence",
+    "clipping_tolerance",
+})
+
+
+def params_for_cam(params: dict, c: int) -> dict:
+    """Slice camera ``c``'s view of a fleet params dict (scalars pass
+    through; per-camera (n_cams,) arrays are indexed)."""
+    return {
+        k: v[c]
+        if k in _PER_CAMERA_PARAM_KEYS and getattr(v, "ndim", 0) >= 1
+        else v
+        for k, v in params.items()
+    }
 
 
 @dataclass(frozen=True)
@@ -76,33 +100,54 @@ def _single_cam_step(
 
 
 def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta,
-                           prev_summaries=None):
+                           prev_summaries=None, bot_heights=None):
     """Build tracked-bot arrays from (all cameras') detection summaries.
 
     summaries: dict of stacked (n_cams, B, ...) arrays from the previous
-    frame. Keeps the top ``max_tracked`` by score. With
-    ``prev_summaries`` (the frame before that), per-id finite-difference
-    velocities feed the tracked search's extrapolation — the device-loop
-    analogue of the UDP tracker's velocities on the host path (reference
-    src/main.cpp:93-95 extrapolates the search center by v*dt); without
-    it velocities are zero (pure last-known-pose prior).
+    frame. Entries are deduplicated by bot id first (an overlap-region
+    robot appears once per camera that sees it — the host path dedups in
+    TrackedArrays.build, reference src/udpsocket.cpp:204-256 keys its
+    tracker on id), keeping the best-score observation per id, then the
+    top ``max_tracked`` by score. With ``prev_summaries`` (the frame
+    before that), per-id finite-difference velocities — linear AND
+    angular — feed the tracked search's extrapolation, the device-loop
+    analogue of the UDP tracker's velocities (reference
+    src/udpsocket.cpp:236-249); without it velocities are zero.
+
+    ``bot_heights``: optional (2,) [yellow, blue] tracking heights in mm
+    (the GCSocket team heights, reference src/udpsocket.cpp:304-314);
+    defaults to the reference's default_bot_height=143.
     """
     t = det_cfg.max_tracked
     pos = summaries["pos"].reshape(-1, 2)
     orient = summaries["orientation"].reshape(-1)
     score = summaries["score"].reshape(-1)
     ids = summaries["id"].reshape(-1)
+    n = score.shape[0]
     valid = (score > 0.0) & (ids >= 0)
+
+    # dedup by id: keep the single best-score entry per id (ties: lowest
+    # slot). Without this, one robot seen by 3 overlapping cameras eats 3
+    # of the max_tracked slots and can evict a distinct robot entirely.
+    iid = jnp.where(valid, jnp.clip(ids, 0, 31), 32)
+    sc = jnp.where(valid, score, -jnp.inf)
+    best = jnp.full(33, -jnp.inf, score.dtype).at[iid].max(sc)
+    is_max = valid & (sc == best[iid])
+    slot = jnp.where(is_max, jnp.arange(n, dtype=jnp.int32), n)
+    first = jnp.full(33, n, jnp.int32).at[iid].min(slot)
+    valid &= is_max & (jnp.arange(n, dtype=jnp.int32) == first[iid])
 
     top_score, top_i = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), t)
     keep = top_score > 0.0
     sel_ids = jnp.where(keep, ids[top_i], -1).astype(jnp.int32)
     sel_x = pos[top_i, 0]
     sel_y = pos[top_i, 1]
+    sel_w = orient[top_i]
     zero = jnp.zeros(t, dtype=jnp.float32)
-    vx = vy = zero
+    vx = vy = vw = zero
     if prev_summaries is not None:
         ppos = prev_summaries["pos"].reshape(-1, 2)
+        porient = prev_summaries["orientation"].reshape(-1)
         pscore = prev_summaries["score"].reshape(-1)
         pids = prev_summaries["id"].reshape(-1)
         pvalid = (pscore > 0.0) & (pids >= 0)
@@ -115,15 +160,23 @@ def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta,
         dt = jnp.maximum(jnp.float32(time_delta), 1e-4)
         vx = jnp.where(found, (sel_x - ppos[j, 0]) / dt, 0.0)
         vy = jnp.where(found, (sel_y - ppos[j, 1]) / dt, 0.0)
+        dw = sel_w - porient[j]
+        dw = dw - TWO_PI * jnp.round(dw / TWO_PI)  # shortest angular diff
+        vw = jnp.where(found, dw / dt, 0.0)
+    if bot_heights is None:
+        z = jnp.full(t, 143.0, dtype=jnp.float32)
+    else:
+        heights = jnp.asarray(bot_heights, dtype=jnp.float32)
+        z = jnp.where(sel_ids >= 16, heights[1], heights[0])
     return {
         "id": sel_ids,
         "x": sel_x,
         "y": sel_y,
-        "z": jnp.full(t, 143.0, dtype=jnp.float32),
-        "w": orient[top_i],
+        "z": z,
+        "w": sel_w,
         "vx": vx,
         "vy": vy,
-        "vw": zero,
+        "vw": vw,
         "time_delta": jnp.full(t, time_delta, dtype=jnp.float32),
         "valid": keep,
     }
@@ -187,6 +240,7 @@ def batched_step(cfg: MultiCamConfig):
         tracked = tracked_from_summaries(
             cfg.det, prev_summary, params["tracked_time_delta"],
             prev_summaries=prev_prev_summary,
+            bot_heights=params.get("bot_heights"),
         )
         # cameras are unrolled rather than vmapped: XLA lowers BATCHED
         # gathers (the resampling + hypothesis lookups) ~2.5x slower than
@@ -194,7 +248,8 @@ def batched_step(cfg: MultiCamConfig):
         outs = [
             _single_cam_step(
                 cfg, raws[c], packed_cams[c], field_scales[c],
-                field_offsets[c], colors7[c], tracked, params,
+                field_offsets[c], colors7[c], tracked,
+                params_for_cam(params, c),
                 rs_grid=None if rs_grids is None
                 else jax.tree.map(lambda x: x[c], rs_grids),
             )
@@ -224,7 +279,8 @@ def batched_step_host_tracked(cfg: MultiCamConfig):
         outs = [
             _single_cam_step(
                 cfg, raws[c], packed_cams[c], field_scales[c],
-                field_offsets[c], colors7[c], tracked, params,
+                field_offsets[c], colors7[c], tracked,
+                params_for_cam(params, c),
                 rs_grid=None if rs_grids is None
                 else jax.tree.map(lambda x: x[c], rs_grids),
             )
@@ -265,9 +321,14 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
     n_local = cfg.n_cams // n_dev
 
     def per_device(raw, packed_cam, field_scale, field_offset, colors7, prev_gathered, params):
-        # inputs arrive with a leading local shard axis of size n_local
+        # inputs arrive with a leading local shard axis of size n_local.
+        # params is REPLICATED (P()), so per-camera (n_cams,) tunable
+        # arrays must be indexed by the GLOBAL camera id, not the local
+        # shard offset.
+        cam0 = jax.lax.axis_index(CAM_AXIS) * n_local
         tracked = tracked_from_summaries(
-            cfg.det, prev_gathered, params["tracked_time_delta"]
+            cfg.det, prev_gathered, params["tracked_time_delta"],
+            bot_heights=params.get("bot_heights"),
         )
         outs = [
             _single_cam_step(
@@ -278,7 +339,7 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
                 field_offset[i],
                 colors7[i],
                 tracked,
-                params,
+                params_for_cam(params, cam0 + i),
                 rs_grid=None,  # single-shot call: projection stays in-line
             )
             for i in range(n_local)
@@ -338,16 +399,21 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
             for i in range(n_local)
         ]
 
+        # params is replicated: per-camera tunables index by GLOBAL cam id
+        cam0 = jax.lax.axis_index(CAM_AXIS) * n_local
+
         def body(carry, raw):
             gathered, prev_gathered = carry
             tracked = tracked_from_summaries(
                 cfg.det, gathered, params["tracked_time_delta"],
                 prev_summaries=prev_gathered,
+                bot_heights=params.get("bot_heights"),
             )
             outs = [
                 _single_cam_step(
                     cfg, raw[i], packed_cam[i], field_scale[i],
-                    field_offset[i], colors7[i], tracked, params,
+                    field_offset[i], colors7[i], tracked,
+                    params_for_cam(params, cam0 + i),
                     rs_grid=grids[i],
                 )[1:]
                 for i in range(n_local)
