@@ -154,6 +154,22 @@ class MultiCamApp:
         return (jnp.asarray(packed), jnp.asarray(scales),
                 jnp.asarray(offsets), jnp.asarray(colors), self._grids)
 
+    def _fleet_params(self) -> dict:
+        """Merged device params: per-camera tunables become (N,) arrays so
+        every camera keeps its own thresholds (the reference's per-process
+        configs, reference src/Resources.cpp:188-214); field-derived and
+        GC-derived values stay shared scalars (same field, same GC)."""
+        from ..parallel.multicam import _PER_CAMERA_PARAM_KEYS
+
+        jnp = self._jax.numpy
+        per = [p.params() for p in self.processors]
+        out = dict(per[0])
+        for k in _PER_CAMERA_PARAM_KEYS:
+            out[k] = jnp.asarray(
+                np.array([float(p[k]) for p in per], dtype=np.float32)
+            )
+        return out
+
     def step_frames(self, frames, now: float):
         """One batched device step + per-camera host finishing."""
         jnp = self._jax.numpy
@@ -168,10 +184,9 @@ class MultiCamApp:
             self.sockets[0].get_tracked_objects(), now,
             self.processors[0].det_cfg.max_tracked,
         )
-        p0 = self.processors[0]
         blobs, det = self._step(
             jnp.asarray(raws), packed, scales, offsets, colors,
-            tracked.as_dict(), p0.params(), grids,
+            tracked.as_dict(), self._fleet_params(), grids,
         )
 
         # per-camera host finishing is independent (separate Processor
@@ -193,6 +208,34 @@ class MultiCamApp:
 
         return list(self._pool.map(finish_one, range(self.n_cams)))
 
+    def _calibrate_uncalibrated(self, frames) -> None:
+        """Auto-calibrate every camera that has field geometry but no calib
+        yet (mirrors App._calibration_path). The broadcast calib rides the
+        camera's own multicast socket and is adopted on the next
+        geometry_check, after which the batched step compiles."""
+        from ..calib.geometry import geometry_calibration
+        from ..proto import SSL_SOURCE_VISION_PROCESSOR, SSL_WrapperPacket
+        from ..ops.frame import quad2rgba, raw2quad
+
+        jnp = self._jax.numpy
+        for c, (cfg, proc, sock, frame) in enumerate(
+            zip(self.configs, self.processors, self.sockets, frames)
+        ):
+            if proc.perspective.geometry_version or not sock.geometry_version:
+                continue
+            log.info("Calibrating camera %d ...", cfg.cam_id)
+            planes = raw2quad(jnp.asarray(frame.data), frame.fmt)
+            rgb = np.asarray(quad2rgba(planes, frame.fmt))
+            model = geometry_calibration(cfg, sock.geometry.field, rgb)
+            if model is None:
+                continue
+            wrapper = SSL_WrapperPacket()
+            wrapper.source = SSL_SOURCE_VISION_PROCESSOR
+            wrapper.geometry.CopyFrom(sock.geometry)
+            wrapper.geometry.ClearField("calib")
+            wrapper.geometry.calib.append(model.to_proto(cfg.cam_id))
+            sock.send(wrapper)
+
     def run(self):
         frame_id = 0
         while self.running:
@@ -213,7 +256,12 @@ class MultiCamApp:
                 log.exception("frame set %d failed, continuing", frame_id)
                 continue
             if out is None:
-                continue  # waiting for calibration on some camera
+                # some camera is uncalibrated: bootstrap it with the
+                # single-camera auto-calibration path instead of stalling
+                # (the reference's per-process loop calibrates any
+                # uncalibrated camera, reference src/main.cpp:404-406)
+                self._calibrate_uncalibrated(frames)
+                continue
             processing = get_real_time() - real_start
             budget = self.cameras[0].expected_frametime()
             if budget and processing > budget:
