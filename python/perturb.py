@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import shutil
+import zlib
 from pathlib import Path
 
 import cv2
@@ -94,11 +95,11 @@ def perturb_dataset(data: Path, out: Path, profile: str) -> None:
                 if item.is_dir():
                     shutil.copytree(item, dst, dirs_exist_ok=True)
                 elif item.suffix == ".mp4":
-                    n = perturb_video(item, dst, p, seed=hash(item.name) & 0xFFFF)
+                    n = perturb_video(item, dst, p, seed=zlib.crc32(item.name.encode()) & 0xFFFF)
                     print(f"{rel}/{item.name}: {n} frames perturbed ({profile})")
                 elif item.suffix == ".png" and item.stem != "field":
                     img = cv2.imread(str(item))
-                    rng = np.random.default_rng(hash(item.name) & 0xFFFF)
+                    rng = np.random.default_rng(zlib.crc32(item.name.encode()) & 0xFFFF)
                     mask = _vignette_mask(*img.shape[:2], p["vignette"])
                     cv2.imwrite(str(dst), perturb_frame(img, p, rng, mask))
                 else:

@@ -150,11 +150,27 @@ class AravisDriver(CameraDriver):
         lib.arv_camera_start_acquisition.argtypes = [ctypes.c_void_p, perr]
         lib.arv_camera_stop_acquisition.argtypes = [ctypes.c_void_p, perr]
 
-    @staticmethod
-    def _check(err, what: str) -> None:
+    def _check(self, err, what: str) -> None:
         if err:
-            msg = err.contents.message or b""
-            raise RuntimeError(f"GENICAM {what}: {msg.decode(errors='replace')}")
+            msg = (err.contents.message or b"").decode(errors="replace")
+            self._free_gerror(err)
+            raise RuntimeError(f"GENICAM {what}: {msg}")
+
+    def _free_gerror(self, err) -> None:
+        """g_error_free the raised GError (callee-allocated; leaking one per
+        failed call adds up on a flaky link). dlsym through the aravis
+        handle reaches its glib dependency on Linux."""
+        try:
+            free = getattr(self._lib, "g_error_free", None)
+            if free is None:  # pragma: no cover - unusual linkage
+                path = ctypes.util.find_library("glib-2.0")
+                if not path:
+                    return
+                free = ctypes.CDLL(path).g_error_free
+            free.argtypes = [ctypes.c_void_p]
+            free(ctypes.cast(err, ctypes.c_void_p))
+        except Exception:  # pragma: no cover - never mask the real error
+            pass
 
     def _call(self, fn, *args, what: str):
         """Call an Aravis function with a FRESH GError** (GLib forbids
@@ -210,11 +226,17 @@ class AravisDriver(CameraDriver):
         buf = lib.arv_stream_timeout_pop_buffer(self._stream, 1_000_000)
         if not buf:
             return None
-        # newest-only: drain everything already completed, requeue the rest
+        # newest-only drain: keep the newest SUCCESS buffer, requeue the
+        # rest. Skipping failed buffers here (instead of blindly taking the
+        # newest) keeps an older successfully-captured frame when the most
+        # recent transfer was incomplete.
         while True:
             nxt = lib.arv_stream_try_pop_buffer(self._stream)
             if not nxt:
                 break
+            if lib.arv_buffer_get_status(nxt) != ARV_BUFFER_STATUS_SUCCESS:
+                lib.arv_stream_push_buffer(self._stream, nxt)
+                continue
             lib.arv_stream_push_buffer(self._stream, buf)
             buf = nxt
         try:
