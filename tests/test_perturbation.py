@@ -32,15 +32,27 @@ pytestmark = pytest.mark.skipif(
 # the documented ~10 mm/px resolution limit and is for degradation curves,
 # not CI gates.
 @pytest.mark.parametrize(
-    "profile,circularity,min_bot_recall,min_ball_recall,max_err", [
-        ("light", 15.0, 0.9, 0.5, 25.0),
+    "profile,circularity,min_bot_recall,min_ball_recall,max_err,factor", [
+        ("light", 15.0, 0.9, 0.5, 25.0, 1.0),
         # the 21.5 mm ball is ~3 px here — medium blur sits at the
         # documented ~10 mm/px resolution limit (documentation.md), so the
         # ball bar only guards against total loss
-        ("medium", 8.0, 0.7, 0.15, 40.0),
+        ("medium", 8.0, 0.7, 0.15, 40.0, 1.0),
+        # resampling_factor qualification (VERDICT r2 item 2): a coarser
+        # flat grid must hold the SAME recall bars on degraded-optics
+        # footage before it can be a shipped default; position error gets
+        # 1.6 mm headroom (the factor's measured cost on clean scenes,
+        # PERFORMANCE.md factor curve). Measured floor: factor 1.5 PASSES
+        # the light profile but FAILS medium ball recall (0/6 — the
+        # ~3 px ball falls below the coarse grid's detectability under
+        # medium blur), so 1.5 is qualified for good optics only and 1.25
+        # is the degraded-optics ceiling.
+        ("light", 15.0, 0.9, 0.5, 27.0, 1.5),
+        ("medium", 8.0, 0.7, 0.15, 42.0, 1.25),
     ])
 def test_perturbed_scene_detection(tmp_path, profile, circularity,
-                                   min_bot_recall, min_ball_recall, max_err):
+                                   min_bot_recall, min_ball_recall, max_err,
+                                   factor):
     group, port = "224.99.99.91", 18021
 
     subprocess.run(
@@ -69,7 +81,8 @@ def test_perturbed_scene_detection(tmp_path, profile, circularity,
                       "gc_ip": "224.99.99.92", "gc_port": 18022}
     cfg["stream"] = {"active": False}
     cfg["debug"] = {"wait_for_geometry": True}
-    cfg["thresholds"] = {"blobs": 128, "circularity": circularity}
+    cfg["thresholds"] = {"blobs": 128, "circularity": circularity,
+                         "resampling_factor": factor}
     cfg_file.write_text(yaml.dump(cfg))
 
     truth = json.loads((folder / "scene0.manual.json").read_text())
