@@ -244,21 +244,36 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     k = cfg.ring_size
 
     # Anchor selection. The reference anchors EVERY blob (reference
-    # src/main.cpp:63-75); max_anchors bounds the tensor shape. When the cap
-    # binds, anchors are ranked by center-color plausibility — distance to
-    # the nearer of the yellow/blue team colors (the anchor is the center
-    # blob of the candidate robot) — with extraction-score order as the
-    # tie-break, exactly like the ring-member ranking below. Plain
-    # score-order anchoring is adversarially unsound: a dense scene can
-    # pack >max_anchors spurious high-score blobs into the leading slots
-    # and starve every true robot center out of the anchor window.
+    # src/main.cpp:63-75); max_anchors bounds the tensor shape. When the
+    # cap binds, anchors are ranked by center-color plausibility with
+    # extraction-score order as the tie-break. The ranking key is the
+    # CLASSIFICATION MARGIN — distance to the nearer team color minus
+    # distance to the nearest non-team table color (orange/field/green/
+    # pink/line, the same nearest-class rule the host classifier uses) —
+    # not the raw team-color distance: disc means are diluted toward the
+    # carpet, which inflates a true center's absolute distance while a
+    # dense field of orange balls sits numerically closer to yellow than
+    # diluted yellow does. The margin cancels the dilution (both terms
+    # shift together), so team-colored blobs rank negative and everything
+    # else positive. Plain score-order anchoring is adversarially unsound:
+    # a dense scene can pack >max_anchors spurious high-score blobs into
+    # the leading slots and starve every true robot center out of the
+    # anchor window.
     if a < k_all and blob_color is not None and colors is not None:
         yellow, blue = colors[2], colors[3]
-        d_center = jnp.minimum(
+        d_team = jnp.minimum(
             jnp.sum((blob_color - yellow) ** 2, axis=-1),
             jnp.sum((blob_color - blue) ** 2, axis=-1),
         )
-        a_rank = jnp.where(blob_valid, d_center, jnp.inf)
+        other_idx = [i for i in range(colors.shape[0]) if i not in (2, 3)]
+        d_other = jnp.min(
+            jnp.stack([
+                jnp.sum((blob_color - colors[i]) ** 2, axis=-1)
+                for i in other_idx
+            ]),
+            axis=0,
+        )
+        a_rank = jnp.where(blob_valid, d_team - d_other, jnp.inf)
         # stable argsort: equal distances keep extraction-score order
         anchor_idx = jnp.argsort(a_rank)[:a].astype(jnp.int32)
         anchor_pos = blob_pos[anchor_idx]
