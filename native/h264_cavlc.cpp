@@ -1,0 +1,740 @@
+// In-process H.264 CAVLC all-intra encoder: the compressed debug-stream
+// tier above the lossless I_PCM encoder.
+//
+// The reference streams its debug video through a real encoder
+// (reference src/rtpstreamer.cpp:62-93 auto-picks nvenc/qsv/vaapi/x264);
+// I_PCM is ~12 bits/px (a 1080p30 stream is ~750 Mb/s, LAN-hostile). This
+// tier codes every macroblock as Intra_16x16 with DC prediction, the 4x4
+// integer core transform + Hadamard DC transforms, spec-exact dequant and
+// reconstruction (so the decoder's output equals our reconstruction
+// bit-for-bit) and CAVLC entropy coding — a fully standard baseline
+// bitstream at roughly 0.3-2 bits/px depending on content and QP.
+//
+// QP is clamped to [10, 29]: <=29 keeps the chroma QP mapping identity
+// (Table 8-15) and >=10 bounds worst-case level magnitudes far inside the
+// CAVLC escape range.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#include "h264_common.h"
+
+using vptpu::BitWriter;
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// quant / dequant tables (ITU-T H.264 8.5.9-8.5.12)
+// ---------------------------------------------------------------------------
+
+// encoder-side multipliers MF, per qp%6 and coefficient class
+// class 0: (0,0),(0,2),(2,0),(2,2); class 1: (1,1),(1,3),(3,1),(3,3);
+// class 2: the rest
+static const int32_t kMF[6][3] = {
+    {13107, 5243, 8066}, {11916, 4660, 7490}, {10082, 4194, 6554},
+    {9362, 3647, 5825},  {8192, 3355, 5243},  {7282, 2893, 4559},
+};
+// decoder-side scale V (spec levelScale = 16 * V)
+static const int32_t kV[6][3] = {
+    {10, 16, 13}, {11, 18, 14}, {13, 20, 16},
+    {14, 23, 18}, {16, 25, 20}, {18, 29, 23},
+};
+
+static inline int pclass(int r, int c) {
+    const bool re = (r & 1) == 0, ce = (c & 1) == 0;
+    return (re && ce) ? 0 : ((!re && !ce) ? 1 : 2);
+}
+
+// zigzag scan for 4x4 blocks (Figure 8-8)
+static const int kZigzag[16] = {0, 1, 4, 8, 5, 2, 3, 6,
+                               9, 12, 13, 10, 7, 11, 14, 15};
+
+// ---------------------------------------------------------------------------
+// CAVLC VLC tables (Tables 9-5, 9-7, 9-9, 9-10). {len, value} pairs.
+// ---------------------------------------------------------------------------
+
+struct Vlc { uint8_t len; uint16_t val; };
+
+// coeff_token, contexts: 0 -> 0<=nC<2, 1 -> 2<=nC<4, 2 -> 4<=nC<8.
+// Indexed [ctx][TotalCoeff][TrailingOnes].
+static const Vlc kCoeffToken[3][17][4] = {
+    {   // ctx 0
+        {{1, 1}, {0, 0}, {0, 0}, {0, 0}},
+        {{6, 5}, {2, 1}, {0, 0}, {0, 0}},
+        {{8, 7}, {6, 4}, {3, 1}, {0, 0}},
+        {{9, 7}, {8, 6}, {7, 5}, {5, 3}},
+        {{10, 7}, {9, 6}, {8, 5}, {6, 3}},
+        {{11, 7}, {10, 6}, {9, 5}, {7, 4}},
+        {{13, 15}, {11, 6}, {10, 5}, {8, 4}},
+        {{13, 11}, {13, 14}, {11, 5}, {9, 4}},
+        {{13, 8}, {13, 10}, {13, 13}, {10, 4}},
+        {{14, 15}, {14, 14}, {13, 9}, {11, 4}},
+        {{14, 11}, {14, 10}, {14, 13}, {13, 12}},
+        {{15, 15}, {15, 14}, {14, 9}, {14, 12}},
+        {{15, 11}, {15, 10}, {15, 13}, {14, 8}},
+        {{16, 15}, {15, 1}, {15, 9}, {15, 12}},
+        {{16, 11}, {16, 14}, {16, 13}, {15, 8}},
+        {{16, 7}, {16, 10}, {16, 9}, {16, 12}},
+        {{16, 4}, {16, 6}, {16, 5}, {16, 8}},
+    },
+    {   // ctx 1
+        {{2, 3}, {0, 0}, {0, 0}, {0, 0}},
+        {{6, 11}, {2, 2}, {0, 0}, {0, 0}},
+        {{6, 7}, {5, 7}, {3, 3}, {0, 0}},
+        {{7, 7}, {6, 10}, {6, 9}, {4, 5}},
+        {{8, 7}, {6, 6}, {6, 5}, {4, 4}},
+        {{8, 4}, {7, 6}, {7, 5}, {5, 6}},
+        {{9, 7}, {8, 6}, {8, 5}, {6, 8}},
+        {{11, 15}, {9, 6}, {9, 5}, {6, 4}},
+        {{11, 11}, {11, 14}, {11, 13}, {7, 4}},
+        {{12, 15}, {11, 10}, {11, 9}, {9, 4}},
+        {{12, 11}, {12, 14}, {12, 13}, {11, 12}},
+        {{12, 8}, {12, 10}, {12, 9}, {11, 8}},
+        {{13, 15}, {13, 14}, {13, 13}, {12, 12}},
+        {{13, 11}, {13, 10}, {13, 9}, {13, 12}},
+        {{13, 7}, {14, 11}, {13, 6}, {13, 8}},
+        {{14, 9}, {14, 8}, {14, 10}, {13, 1}},
+        {{14, 7}, {14, 6}, {14, 5}, {14, 4}},
+    },
+    {   // ctx 2
+        {{4, 15}, {0, 0}, {0, 0}, {0, 0}},
+        {{6, 15}, {4, 14}, {0, 0}, {0, 0}},
+        {{6, 11}, {5, 15}, {4, 13}, {0, 0}},
+        {{6, 8}, {5, 12}, {5, 14}, {4, 12}},
+        {{7, 15}, {5, 10}, {5, 11}, {4, 11}},
+        {{7, 11}, {5, 8}, {5, 9}, {4, 10}},
+        {{7, 9}, {6, 14}, {6, 13}, {4, 9}},
+        {{7, 8}, {6, 10}, {6, 9}, {4, 8}},
+        {{8, 15}, {7, 14}, {7, 13}, {5, 13}},
+        {{8, 11}, {8, 14}, {7, 10}, {6, 12}},
+        {{9, 15}, {8, 10}, {8, 13}, {7, 12}},
+        {{9, 11}, {9, 14}, {8, 9}, {8, 12}},
+        {{9, 8}, {9, 10}, {9, 13}, {8, 8}},
+        {{10, 13}, {9, 7}, {9, 9}, {9, 12}},
+        {{10, 9}, {10, 12}, {10, 11}, {10, 10}},
+        {{10, 5}, {10, 8}, {10, 7}, {10, 6}},
+        {{10, 1}, {10, 4}, {10, 3}, {10, 2}},
+    },
+};
+
+// coeff_token for chroma DC (nC == -1), Table 9-5 last column (4:2:0)
+static const Vlc kCoeffTokenChromaDC[5][4] = {
+    {{2, 1}, {0, 0}, {0, 0}, {0, 0}},
+    {{6, 7}, {1, 1}, {0, 0}, {0, 0}},
+    {{6, 4}, {6, 6}, {3, 1}, {0, 0}},
+    {{6, 3}, {7, 3}, {7, 2}, {6, 5}},
+    {{6, 2}, {8, 3}, {8, 2}, {7, 0}},
+};
+
+// total_zeros for 4x4 (and 16-coeff DC) blocks, Table 9-7/9-8.
+// Indexed [TotalCoeff-1][total_zeros].
+static const Vlc kTotalZeros[15][16] = {
+    {{1, 1}, {3, 3}, {3, 2}, {4, 3}, {4, 2}, {5, 3}, {5, 2}, {6, 3}, {6, 2}, {7, 3}, {7, 2}, {8, 3}, {8, 2}, {9, 3}, {9, 2}, {9, 1}},
+    {{3, 7}, {3, 6}, {3, 5}, {3, 4}, {3, 3}, {4, 5}, {4, 4}, {4, 3}, {4, 2}, {5, 3}, {5, 2}, {6, 3}, {6, 2}, {6, 1}, {6, 0}, {0, 0}},
+    {{4, 5}, {3, 7}, {3, 6}, {3, 5}, {4, 4}, {4, 3}, {3, 4}, {3, 3}, {4, 2}, {5, 3}, {5, 2}, {6, 1}, {5, 1}, {6, 0}, {0, 0}, {0, 0}},
+    {{5, 3}, {3, 7}, {4, 5}, {4, 4}, {3, 6}, {3, 5}, {3, 4}, {4, 3}, {3, 3}, {4, 2}, {5, 2}, {5, 1}, {5, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{4, 5}, {4, 4}, {4, 3}, {3, 7}, {3, 6}, {3, 5}, {3, 4}, {3, 3}, {4, 2}, {5, 1}, {4, 1}, {5, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{6, 1}, {5, 1}, {3, 7}, {3, 6}, {3, 5}, {3, 4}, {3, 3}, {3, 2}, {4, 1}, {3, 1}, {6, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{6, 1}, {5, 1}, {3, 5}, {3, 4}, {3, 3}, {2, 3}, {3, 2}, {4, 1}, {3, 1}, {6, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{6, 1}, {4, 1}, {5, 1}, {3, 3}, {2, 3}, {2, 2}, {3, 2}, {3, 1}, {6, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{6, 1}, {6, 0}, {4, 1}, {2, 3}, {2, 2}, {3, 1}, {2, 1}, {5, 1}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{5, 1}, {5, 0}, {3, 1}, {2, 3}, {2, 2}, {2, 1}, {4, 1}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{4, 0}, {4, 1}, {3, 1}, {3, 2}, {1, 1}, {3, 3}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{4, 0}, {4, 1}, {2, 1}, {1, 1}, {3, 1}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{3, 0}, {3, 1}, {1, 1}, {2, 1}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{2, 0}, {2, 1}, {1, 1}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{1, 0}, {1, 1}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+};
+
+// total_zeros for chroma DC (maxNumCoeff 4), Table 9-9 (4:2:0).
+// Indexed [TotalCoeff-1][total_zeros].
+static const Vlc kTotalZerosChromaDC[3][4] = {
+    {{1, 1}, {2, 1}, {3, 1}, {3, 0}},
+    {{1, 1}, {2, 1}, {2, 0}, {0, 0}},
+    {{1, 1}, {1, 0}, {0, 0}, {0, 0}},
+};
+
+// run_before, Table 9-10. Indexed [min(zerosLeft,7)-1][run_before].
+static const Vlc kRunBefore[7][15] = {
+    {{1, 1}, {1, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{1, 1}, {2, 1}, {2, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{2, 3}, {2, 2}, {2, 1}, {2, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{2, 3}, {2, 2}, {2, 1}, {3, 1}, {3, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{2, 3}, {2, 2}, {3, 3}, {3, 2}, {3, 1}, {3, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{2, 3}, {3, 0}, {3, 1}, {3, 3}, {3, 2}, {3, 5}, {3, 4}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}},
+    {{3, 7}, {3, 6}, {3, 5}, {3, 4}, {3, 3}, {3, 2}, {3, 1}, {4, 1}, {5, 1}, {6, 1}, {7, 1}, {8, 1}, {9, 1}, {10, 1}, {11, 1}},
+};
+
+// ---------------------------------------------------------------------------
+// transforms (spec-exact reconstruction path)
+// ---------------------------------------------------------------------------
+
+// forward 4x4 core transform: W = Cf * X * Cf^T
+static void fwd4x4(const int32_t in[16], int32_t out[16]) {
+    int32_t tmp[16];
+    for (int r = 0; r < 4; ++r) {
+        const int32_t* x = in + 4 * r;
+        int32_t s03 = x[0] + x[3], d03 = x[0] - x[3];
+        int32_t s12 = x[1] + x[2], d12 = x[1] - x[2];
+        tmp[4 * r + 0] = s03 + s12;
+        tmp[4 * r + 1] = 2 * d03 + d12;
+        tmp[4 * r + 2] = s03 - s12;
+        tmp[4 * r + 3] = d03 - 2 * d12;
+    }
+    for (int c = 0; c < 4; ++c) {
+        int32_t x0 = tmp[c], x1 = tmp[4 + c], x2 = tmp[8 + c], x3 = tmp[12 + c];
+        int32_t s03 = x0 + x3, d03 = x0 - x3;
+        int32_t s12 = x1 + x2, d12 = x1 - x2;
+        out[c] = s03 + s12;
+        out[4 + c] = 2 * d03 + d12;
+        out[8 + c] = s03 - s12;
+        out[12 + c] = d03 - 2 * d12;
+    }
+}
+
+// inverse 4x4 core transform (8.5.12.3), input = dequantized d, output
+// residual r with the final (x + 32) >> 6
+static void inv4x4(const int32_t d[16], int32_t r[16]) {
+    int32_t tmp[16];
+    for (int i = 0; i < 4; ++i) {
+        const int32_t* x = d + 4 * i;
+        int32_t e0 = x[0] + x[2];
+        int32_t e1 = x[0] - x[2];
+        int32_t e2 = (x[1] >> 1) - x[3];
+        int32_t e3 = x[1] + (x[3] >> 1);
+        tmp[4 * i + 0] = e0 + e3;
+        tmp[4 * i + 1] = e1 + e2;
+        tmp[4 * i + 2] = e1 - e2;
+        tmp[4 * i + 3] = e0 - e3;
+    }
+    for (int c = 0; c < 4; ++c) {
+        int32_t x0 = tmp[c], x1 = tmp[4 + c], x2 = tmp[8 + c], x3 = tmp[12 + c];
+        int32_t e0 = x0 + x2;
+        int32_t e1 = x0 - x2;
+        int32_t e2 = (x1 >> 1) - x3;
+        int32_t e3 = x1 + (x3 >> 1);
+        r[c] = (e0 + e3 + 32) >> 6;
+        r[4 + c] = (e1 + e2 + 32) >> 6;
+        r[8 + c] = (e1 - e2 + 32) >> 6;
+        r[12 + c] = (e0 - e3 + 32) >> 6;
+    }
+}
+
+// 4x4 Hadamard (both directions identical up to scaling choices)
+static void hadamard4x4(const int32_t in[16], int32_t out[16]) {
+    int32_t tmp[16];
+    for (int r = 0; r < 4; ++r) {
+        const int32_t* x = in + 4 * r;
+        int32_t s03 = x[0] + x[3], d03 = x[0] - x[3];
+        int32_t s12 = x[1] + x[2], d12 = x[1] - x[2];
+        tmp[4 * r + 0] = s03 + s12;
+        tmp[4 * r + 1] = d03 + d12;
+        tmp[4 * r + 2] = s03 - s12;
+        tmp[4 * r + 3] = d03 - d12;
+    }
+    for (int c = 0; c < 4; ++c) {
+        int32_t x0 = tmp[c], x1 = tmp[4 + c], x2 = tmp[8 + c], x3 = tmp[12 + c];
+        int32_t s03 = x0 + x3, d03 = x0 - x3;
+        int32_t s12 = x1 + x2, d12 = x1 - x2;
+        out[c] = s03 + s12;
+        out[4 + c] = d03 + d12;
+        out[8 + c] = s03 - s12;
+        out[12 + c] = d03 - d12;
+    }
+}
+
+static inline uint8_t clip255(int32_t v) {
+    return uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+// ---------------------------------------------------------------------------
+// CAVLC residual block writer
+// ---------------------------------------------------------------------------
+
+// Encode one residual block (9.2). coeffs: scan-ordered coefficients
+// (zigzag already applied by the caller), n = number of coefficients in
+// scan (16 luma DC, 15 AC, 4 chroma DC). nC selects the coeff_token
+// context (-1 = chroma DC). Returns TotalCoeff.
+static FILE* trace_file() {
+    static FILE* f = [] {
+        const char* p = getenv("VPTPU_CAVLC_TRACE");
+        return p ? fopen(p, "w") : (FILE*)nullptr;
+    }();
+    return f;
+}
+
+static int write_block(BitWriter& w, const int32_t* coeffs, int n, int nC) {
+    int nz_idx[16];
+    int total = 0;
+    for (int i = 0; i < n; ++i)
+        if (coeffs[i]) nz_idx[total++] = i;
+
+    int trailing = 0;
+    // trailing ones: up to 3 consecutive +-1 at the high-frequency end
+    for (int i = total - 1; i >= 0 && trailing < 3; --i) {
+        int32_t v = coeffs[nz_idx[i]];
+        if (v == 1 || v == -1) ++trailing;
+        else break;
+    }
+
+    if (FILE* tf = trace_file()) {
+        fprintf(tf, "blk n=%d nC=%d tc=%d t1=%d tz=%d lv=", n, nC, total,
+                trailing, total ? nz_idx[total - 1] + 1 - total : 0);
+        for (int i = total - 1; i >= 0; --i)
+            fprintf(tf, "%d,", coeffs[nz_idx[i]]);
+        fprintf(tf, " pos=");
+        for (int i = total - 1; i >= 0; --i)
+            fprintf(tf, "%d,", nz_idx[i]);
+        fprintf(tf, "\n");
+    }
+
+    if (nC == -1) {
+        const Vlc& t = kCoeffTokenChromaDC[total][trailing];
+        w.put_bits(t.val, t.len);
+    } else if (nC < 8) {
+        int ctx = (nC < 2) ? 0 : (nC < 4 ? 1 : 2);
+        const Vlc& t = kCoeffToken[ctx][total][trailing];
+        w.put_bits(t.val, t.len);
+    } else {
+        // 6-bit FLC: TotalCoeff==0 -> 000011, else ((tc-1)<<2)|t1s
+        uint32_t code = (total == 0) ? 3 : uint32_t(((total - 1) << 2) | trailing);
+        w.put_bits(code, 6);
+    }
+    if (total == 0) return 0;
+
+    // trailing one signs, highest frequency first
+    for (int i = 0; i < trailing; ++i) {
+        int32_t v = coeffs[nz_idx[total - 1 - i]];
+        w.put_bit(v < 0 ? 1 : 0);
+    }
+
+    // remaining levels, highest frequency first
+    int suffix_len = (total > 10 && trailing < 3) ? 1 : 0;
+    for (int i = total - 1 - trailing; i >= 0; --i) {
+        int32_t level = coeffs[nz_idx[i]];
+        int32_t code = (level > 0) ? 2 * level - 2 : -2 * level - 1;
+        if (i == total - 1 - trailing && trailing < 3)
+            code -= 2;  // first non-T1 level has |value| >= 2
+        if (suffix_len == 0) {
+            if (code < 14) {
+                w.put_bits(1, code + 1);           // code zeros then 1
+            } else if (code < 30) {
+                w.put_bits(1, 15);                  // level_prefix 14
+                w.put_bits(uint32_t(code - 14), 4);
+            } else {
+                w.put_bits(1, 16);                  // level_prefix 15
+                w.put_bits(uint32_t(code - 30), 12);
+            }
+        } else {
+            if (code < (15 << suffix_len)) {
+                uint32_t prefix = uint32_t(code) >> suffix_len;
+                w.put_bits(1, int(prefix) + 1);
+                w.put_bits(uint32_t(code) & ((1u << suffix_len) - 1), suffix_len);
+            } else {
+                w.put_bits(1, 16);                  // level_prefix 15
+                w.put_bits(uint32_t(code - (15 << suffix_len)), 12);
+            }
+        }
+        if (suffix_len == 0) suffix_len = 1;
+        if (std::abs(level) > (3 << (suffix_len - 1)) && suffix_len < 6)
+            ++suffix_len;
+    }
+
+    // total_zeros: zeros before the highest-frequency nonzero
+    int total_zeros = nz_idx[total - 1] + 1 - total;
+    if (total < n) {
+        if (nC == -1) {
+            const Vlc& t = kTotalZerosChromaDC[total - 1][total_zeros];
+            w.put_bits(t.val, t.len);
+        } else {
+            const Vlc& t = kTotalZeros[total - 1][total_zeros];
+            w.put_bits(t.val, t.len);
+        }
+    }
+
+    // run_before per coefficient, highest frequency first, except the last
+    int zeros_left = total_zeros;
+    for (int i = total - 1; i > 0 && zeros_left > 0; --i) {
+        int run = nz_idx[i] - nz_idx[i - 1] - 1;
+        const Vlc& t = kRunBefore[(zeros_left < 7 ? zeros_left : 7) - 1][run];
+        w.put_bits(t.val, t.len);
+        zeros_left -= run;
+    }
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// per-macroblock transform + quant + reconstruction state
+// ---------------------------------------------------------------------------
+
+struct PlaneCtx {
+    uint8_t* recon;       // reconstructed plane (decoder-identical)
+    int stride;
+    int16_t* nnz;         // per-4x4-block TotalCoeff map, width blk_w
+    int blk_w;
+};
+
+// nC from neighbouring 4x4 blocks' TotalCoeff (9.2.1)
+static int pred_nc(const PlaneCtx& p, int bx, int by) {
+    bool left = bx > 0, top = by > 0;
+    if (left && top)
+        return (p.nnz[by * p.blk_w + bx - 1] + p.nnz[(by - 1) * p.blk_w + bx] + 1) >> 1;
+    if (left) return p.nnz[by * p.blk_w + bx - 1];
+    if (top) return p.nnz[(by - 1) * p.blk_w + bx];
+    return 0;
+}
+
+struct QuantParams {
+    int qp, qbits, mod;
+    int32_t f_intra;   // rounding offset
+};
+
+static QuantParams make_qp(int qp) {
+    QuantParams q;
+    q.qp = qp;
+    q.qbits = 15 + qp / 6;
+    q.mod = qp % 6;
+    q.f_intra = (1 << q.qbits) / 3;
+    return q;
+}
+
+static inline int32_t quant_coeff(int32_t w, int cls, const QuantParams& q,
+                                  int extra_shift) {
+    int32_t f = q.f_intra << extra_shift;
+    int32_t lv = int32_t((int64_t(std::abs(w)) * kMF[q.mod][cls] + f)
+                         >> (q.qbits + extra_shift));
+    return w < 0 ? -lv : lv;
+}
+
+// AC / plain 4x4 dequant (8.5.12.2); ls = 16 * V
+static inline int32_t dequant_ac(int32_t c, int cls, const QuantParams& q) {
+    int32_t ls = 16 * kV[q.mod][cls];
+    if (q.qp >= 24) return (c * ls) << (q.qp / 6 - 4);
+    int sh = 4 - q.qp / 6;
+    return (c * ls + (1 << (sh - 1))) >> sh;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one I420 frame as annex-B [SPS][PPS][IDR slice], all Intra_16x16
+// DC-predicted with CAVLC residuals at the given QP (clamped to [10, 29]).
+// recon_y/u/v (optional, may be NULL) receive the spec-exact reconstruction
+// a conforming decoder will output. Returns bytes written or -1.
+long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
+                             const uint8_t* v, int width, int height,
+                             int qp, int idr_pic_id,
+                             uint8_t* scratch, long scratch_cap,
+                             uint8_t* out, long out_cap,
+                             uint8_t* recon_y, uint8_t* recon_u,
+                             uint8_t* recon_v) {
+    if (width % 16 || height % 16) return -1;
+    if (qp < 10) qp = 10;
+    if (qp > 29) qp = 29;
+    const int mbs_x = width / 16, mbs_y = height / 16;
+    const int cw = width / 2, ch = height / 2;
+    const QuantParams q = make_qp(qp);        // luma and (qp<30) chroma alike
+
+    // reconstruction planes + nnz maps live in heap scratch
+    uint8_t* ry = recon_y ? recon_y : (uint8_t*)malloc(size_t(width) * height);
+    uint8_t* ru = recon_u ? recon_u : (uint8_t*)malloc(size_t(cw) * ch);
+    uint8_t* rv = recon_v ? recon_v : (uint8_t*)malloc(size_t(cw) * ch);
+    int16_t* nnz_y = (int16_t*)calloc(size_t(mbs_x * 4) * (mbs_y * 4), 2);
+    int16_t* nnz_u = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    int16_t* nnz_v = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    if (!ry || !ru || !rv || !nnz_y || !nnz_u || !nnz_v) return -1;
+
+    PlaneCtx py{ry, width, nnz_y, mbs_x * 4};
+    PlaneCtx pu{ru, cw, nnz_u, mbs_x * 2};
+    PlaneCtx pv{rv, cw, nnz_v, mbs_x * 2};
+
+    long off = vptpu::emit_sps_pps(out, out_cap, 0, scratch, scratch_cap,
+                                   mbs_x, mbs_y);
+    long rc = -1;
+    if (off < 0) goto done;
+
+    {
+        BitWriter w{scratch, scratch_cap};
+        w.put_ue(0);                      // first_mb_in_slice
+        w.put_ue(7);                      // slice_type: I (all slices)
+        w.put_ue(0);                      // pic_parameter_set_id
+        w.put_bits(0, 4);                 // frame_num (IDR: 0)
+        w.put_ue(uint32_t(idr_pic_id & 1));
+        w.put_bit(0);                     // no_output_of_prior_pics_flag
+        w.put_bit(0);                     // long_term_reference_flag
+        w.put_se(qp - 26);                // slice_qp_delta
+        w.put_ue(1);                      // disable_deblocking_filter_idc
+
+        // luma 4x4 block order inside a MB (6.4.3): 8x8 quadrant z-order,
+        // then 4x4 z-order within
+        static const int kBlkX[16] = {0, 1, 0, 1, 2, 3, 2, 3,
+                                      0, 1, 0, 1, 2, 3, 2, 3};
+        static const int kBlkY[16] = {0, 0, 1, 1, 0, 0, 1, 1,
+                                      2, 2, 3, 3, 2, 2, 3, 3};
+
+        for (int my = 0; my < mbs_y; ++my) {
+            for (int mx = 0; mx < mbs_x; ++mx) {
+                // ---- luma: Intra_16x16 DC prediction off the recon ----
+                const int x0 = mx * 16, y0 = my * 16;
+                int32_t pred;
+                {
+                    bool top = my > 0, left = mx > 0;
+                    int32_t s = 0;
+                    if (top)
+                        for (int i = 0; i < 16; ++i)
+                            s += ry[(y0 - 1) * width + x0 + i];
+                    if (left)
+                        for (int i = 0; i < 16; ++i)
+                            s += ry[(y0 + i) * width + x0 - 1];
+                    pred = (top && left) ? (s + 16) >> 5
+                         : (top || left) ? (s + 8) >> 4 : 128;
+                }
+
+                // transform all 16 4x4 blocks; collect DC separately
+                int32_t wq[16][16];    // quantized AC (w/ zero DC slot)
+                int32_t dcq[16];       // quantized DC levels (block order)
+                int32_t dc_raw[16];    // raw transform DCs (raster order)
+                bool any_ac = false;
+                for (int b = 0; b < 16; ++b) {
+                    int bx = kBlkX[b], by = kBlkY[b];
+                    int32_t blk[16], tr[16];
+                    for (int r = 0; r < 4; ++r)
+                        for (int c = 0; c < 4; ++c)
+                            blk[4 * r + c] =
+                                int32_t(y[(y0 + by * 4 + r) * width + x0 + bx * 4 + c])
+                                - pred;
+                    fwd4x4(blk, tr);
+                    dc_raw[by * 4 + bx] = tr[0];
+                    for (int i = 1; i < 16; ++i) {
+                        wq[b][i] = quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
+                        if (wq[b][i]) any_ac = true;
+                    }
+                    wq[b][0] = 0;
+                }
+                // DC Hadamard + quant (raster order), store back per block
+                {
+                    int32_t hd[16], hq[16];
+                    hadamard4x4(dc_raw, hd);
+                    for (int i = 0; i < 16; ++i) {
+                        // effective >> (qbits + 2): the DC dequant path
+                        // (8.5.10: (f * 16*V00) >> (6 - qp/6), then the
+                        // core inverse's >> 6) has 4x less gain than the
+                        // AC path, so levels carry 4x the precision
+                        int32_t lv = int32_t(
+                            (int64_t(std::abs(hd[i])) * kMF[q.mod][0]
+                             + 4 * int64_t(q.f_intra)) >> (q.qbits + 2));
+                        hq[i] = hd[i] < 0 ? -lv : lv;
+                    }
+                    for (int b = 0; b < 16; ++b)
+                        dcq[b] = hq[kBlkY[b] * 4 + kBlkX[b]];
+                }
+
+                const int cbp_luma = any_ac ? 1 : 0;
+
+                // ---- chroma: DC-mode prediction per 4x4 sub-block ----
+                const uint8_t* srcs[2] = {u, v};
+                PlaneCtx* pcs[2] = {&pu, &pv};
+                int32_t cpred[2][4];   // per component, per 4x4 block (z)
+                int32_t cwq[2][4][16]; // quantized AC
+                int32_t cdcq[2][4];    // quantized 2x2 DC
+                bool c_any_ac = false, c_any_dc = false;
+                for (int comp = 0; comp < 2; ++comp) {
+                    const uint8_t* src = srcs[comp];
+                    uint8_t* rec = pcs[comp]->recon;
+                    const int cx0 = mx * 8, cy0 = my * 8;
+                    bool top = my > 0, left = mx > 0;
+                    // 8.3.4.1 DC prediction per 4x4 sub-block
+                    for (int b = 0; b < 4; ++b) {
+                        int sx = (b & 1) * 4, sy = (b >> 1) * 4;
+                        int32_t st = 0, sl = 0;
+                        if (top)
+                            for (int i = 0; i < 4; ++i)
+                                st += rec[(cy0 - 1) * cw + cx0 + sx + i];
+                        if (left)
+                            for (int i = 0; i < 4; ++i)
+                                sl += rec[(cy0 + sy + i) * cw + cx0 - 1];
+                        int32_t p;
+                        if (b == 0 || b == 3) {
+                            p = (top && left) ? (st + sl + 4) >> 3
+                              : top ? (st + 2) >> 2
+                              : left ? (sl + 2) >> 2 : 128;
+                        } else if (b == 1) {      // top-right: prefer top
+                            p = top ? (st + 2) >> 2
+                              : left ? (sl + 2) >> 2 : 128;
+                        } else {                  // bottom-left: prefer left
+                            p = left ? (sl + 2) >> 2
+                              : top ? (st + 2) >> 2 : 128;
+                        }
+                        cpred[comp][b] = p;
+                    }
+                    int32_t cdc_raw[4];
+                    for (int b = 0; b < 4; ++b) {
+                        int sx = (b & 1) * 4, sy = (b >> 1) * 4;
+                        int32_t blk[16], tr[16];
+                        for (int r = 0; r < 4; ++r)
+                            for (int c = 0; c < 4; ++c)
+                                blk[4 * r + c] =
+                                    int32_t(src[(cy0 + sy + r) * cw + cx0 + sx + c])
+                                    - cpred[comp][b];
+                        fwd4x4(blk, tr);
+                        cdc_raw[b] = tr[0];
+                        for (int i = 1; i < 16; ++i) {
+                            cwq[comp][b][i] =
+                                quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
+                            if (cwq[comp][b][i]) c_any_ac = true;
+                        }
+                        cwq[comp][b][0] = 0;
+                    }
+                    // 2x2 DC Hadamard: [[1,1],[1,-1]] both sides
+                    int32_t h0 = cdc_raw[0] + cdc_raw[1] + cdc_raw[2] + cdc_raw[3];
+                    int32_t h1 = cdc_raw[0] - cdc_raw[1] + cdc_raw[2] - cdc_raw[3];
+                    int32_t h2 = cdc_raw[0] + cdc_raw[1] - cdc_raw[2] - cdc_raw[3];
+                    int32_t h3 = cdc_raw[0] - cdc_raw[1] - cdc_raw[2] + cdc_raw[3];
+                    int32_t hs[4] = {h0, h1, h2, h3};
+                    for (int i = 0; i < 4; ++i) {
+                        int32_t lv = int32_t(
+                            (int64_t(std::abs(hs[i])) * kMF[q.mod][0]
+                             + 2 * q.f_intra) >> (q.qbits + 1));
+                        cdcq[comp][i] = hs[i] < 0 ? -lv : lv;
+                        if (cdcq[comp][i]) c_any_dc = true;
+                    }
+                }
+                const int cbp_chroma = c_any_ac ? 2 : (c_any_dc ? 1 : 0);
+
+                // ---- macroblock header ----
+                // I_16x16 mb_type: 1 + predMode(2=DC) + 4*cbpChroma
+                //                    + 12*(cbpLuma ? 1 : 0)
+                w.put_ue(uint32_t(1 + 2 + 4 * cbp_chroma + 12 * cbp_luma));
+                w.put_ue(0);   // intra_chroma_pred_mode: DC
+                w.put_se(0);   // mb_qp_delta
+
+                // ---- residual: luma DC (16 coeffs, zigzag over raster) ----
+                {
+                    int32_t scan[16];
+                    int32_t dc_raster[16];
+                    for (int b = 0; b < 16; ++b)
+                        dc_raster[kBlkY[b] * 4 + kBlkX[b]] = dcq[b];
+                    for (int i = 0; i < 16; ++i)
+                        scan[i] = dc_raster[kZigzag[i]];
+                    int bx = mx * 4, by = my * 4;
+                    int tc = write_block(w, scan, 16, pred_nc(py, bx, by));
+                    (void)tc;  // DC TotalCoeff does not feed nnz maps
+                }
+                // ---- luma AC (15 coeffs each) when cbp_luma ----
+                for (int b = 0; b < 16; ++b) {
+                    int bx = mx * 4 + kBlkX[b], by = my * 4 + kBlkY[b];
+                    if (cbp_luma) {
+                        int32_t scan[15];
+                        for (int i = 1; i < 16; ++i)
+                            scan[i - 1] = wq[b][kZigzag[i]];
+                        int tc = write_block(w, scan, 15, pred_nc(py, bx, by));
+                        nnz_y[by * py.blk_w + bx] = int16_t(tc);
+                    } else {
+                        nnz_y[by * py.blk_w + bx] = 0;
+                        for (int i = 1; i < 16; ++i) wq[b][i] = 0;
+                    }
+                }
+                // ---- chroma DC (both components) when cbp_chroma ----
+                if (cbp_chroma) {
+                    for (int comp = 0; comp < 2; ++comp)
+                        write_block(w, cdcq[comp], 4, -1);
+                }
+                // ---- chroma AC when cbp_chroma == 2 ----
+                for (int comp = 0; comp < 2; ++comp) {
+                    PlaneCtx& pc = *pcs[comp];
+                    for (int b = 0; b < 4; ++b) {
+                        int bx = mx * 2 + (b & 1), by = my * 2 + (b >> 1);
+                        if (cbp_chroma == 2) {
+                            int32_t scan[15];
+                            for (int i = 1; i < 16; ++i)
+                                scan[i - 1] = cwq[comp][b][kZigzag[i]];
+                            int tc = write_block(w, scan, 15, pred_nc(pc, bx, by));
+                            pc.nnz[by * pc.blk_w + bx] = int16_t(tc);
+                        } else {
+                            pc.nnz[by * pc.blk_w + bx] = 0;
+                            for (int i = 1; i < 16; ++i) cwq[comp][b][i] = 0;
+                        }
+                    }
+                    if (cbp_chroma < 1)
+                        for (int i = 0; i < 4; ++i) cdcq[comp][i] = 0;
+                }
+
+                // ---- reconstruction (decoder-identical) ----
+                // luma DC dequant (8.5.10, qp < 36 branch)
+                {
+                    int32_t hin[16], f2[16];
+                    for (int i = 0; i < 16; ++i) hin[i] = 0;
+                    for (int b = 0; b < 16; ++b)
+                        hin[kBlkY[b] * 4 + kBlkX[b]] = dcq[b];
+                    hadamard4x4(hin, f2);
+                    int sh = 6 - q.qp / 6;
+                    int32_t ls = 16 * kV[q.mod][0];
+                    int32_t dcd[16];
+                    for (int i = 0; i < 16; ++i)
+                        dcd[i] = (f2[i] * ls + (1 << (sh - 1))) >> sh;
+                    for (int b = 0; b < 16; ++b) {
+                        int bx = kBlkX[b], by = kBlkY[b];
+                        int32_t d[16], res[16];
+                        d[0] = dcd[by * 4 + bx];
+                        for (int i = 1; i < 16; ++i)
+                            d[i] = dequant_ac(wq[b][i], pclass(i / 4, i % 4), q);
+                        inv4x4(d, res);
+                        for (int r = 0; r < 4; ++r)
+                            for (int c = 0; c < 4; ++c)
+                                ry[(y0 + by * 4 + r) * width + x0 + bx * 4 + c] =
+                                    clip255(pred + res[4 * r + c]);
+                    }
+                }
+                // chroma reconstruction
+                for (int comp = 0; comp < 2; ++comp) {
+                    uint8_t* rec = pcs[comp]->recon;
+                    const int cx0 = mx * 8, cy0 = my * 8;
+                    // 2x2 DC inverse butterfly + scale (8.5.11, 4:2:0)
+                    int32_t c0 = cdcq[comp][0], c1 = cdcq[comp][1];
+                    int32_t c2 = cdcq[comp][2], c3 = cdcq[comp][3];
+                    int32_t f0 = c0 + c1 + c2 + c3;
+                    int32_t f1 = c0 - c1 + c2 - c3;
+                    int32_t f2c = c0 + c1 - c2 - c3;
+                    int32_t f3 = c0 - c1 - c2 + c3;
+                    int32_t ls = 16 * kV[q.mod][0];
+                    int32_t dcd[4] = {
+                        ((f0 * ls) << (q.qp / 6)) >> 5,
+                        ((f1 * ls) << (q.qp / 6)) >> 5,
+                        ((f2c * ls) << (q.qp / 6)) >> 5,
+                        ((f3 * ls) << (q.qp / 6)) >> 5,
+                    };
+                    for (int b = 0; b < 4; ++b) {
+                        int sx = (b & 1) * 4, sy = (b >> 1) * 4;
+                        int32_t d[16], res[16];
+                        d[0] = dcd[b];
+                        for (int i = 1; i < 16; ++i)
+                            d[i] = dequant_ac(cwq[comp][b][i],
+                                              pclass(i / 4, i % 4), q);
+                        inv4x4(d, res);
+                        for (int r = 0; r < 4; ++r)
+                            for (int c = 0; c < 4; ++c)
+                                rec[(cy0 + sy + r) * cw + cx0 + sx + c] =
+                                    clip255(cpred[comp][b] + res[4 * r + c]);
+                    }
+                }
+            }
+        }
+        w.rbsp_trailing();
+        if (w.pos >= scratch_cap) goto done;
+        off = vptpu::emit_nal(out, out_cap, off, 3, 5, scratch, w.pos);
+        if (off < 0) goto done;
+    }
+    rc = off;
+
+done:
+    if (!recon_y) free(ry);
+    if (!recon_u) free(ru);
+    if (!recon_v) free(rv);
+    free(nnz_y); free(nnz_u); free(nnz_v);
+    return rc;
+}
+
+}  // extern "C"

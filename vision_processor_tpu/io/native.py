@@ -77,28 +77,44 @@ def load_native(build: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
     ]
+    lib.vptpu_h264_cavlc_encode.restype = ctypes.c_long
+    lib.vptpu_h264_cavlc_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
 
     _lib = lib
     return lib
 
 
 class H264Encoder:
-    """In-process H.264 encoder (native all-I_PCM baseline, lossless).
+    """In-process H.264 encoder (native, two tiers).
 
     The reference auto-picks a hardware/x264 libav encoder
     (reference src/rtpstreamer.cpp:62-93); this build carries its own
-    encoder in native/vptpu_native.cpp — every macroblock I_PCM, a fully
-    standard bitstream at raw-video bitrate, intended for the LAN debug
-    stream. Frames are padded to multiples of 16.
+    encoders in native/:
+
+    * ``qp=None`` — all-I_PCM baseline (vptpu_native.cpp): lossless,
+      ~12 bits/px; for capture/archival.
+    * ``qp=<10..29>`` — CAVLC all-Intra_16x16 (h264_cavlc.cpp): the
+      compressed LAN debug tier, ~0.3-2 bits/px; decoder output is
+      bit-exactly the encoder's spec-math reconstruction (deblocking
+      signalled off).
+
+    Both emit fully standard annex-B baseline bitstreams. Frames are
+    padded to multiples of 16.
     """
 
-    def __init__(self):
+    def __init__(self, qp: int | None = None):
         self._lib = load_native()
         if self._lib is None:
             raise RuntimeError("native library unavailable")
         self._scratch = None
         self._out = None
         self._idr = 0
+        self.qp = qp
 
     def encode_i420(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
         h, w = y.shape
@@ -110,15 +126,49 @@ class H264Encoder:
         y = np.ascontiguousarray(y)
         u = np.ascontiguousarray(u)
         v = np.ascontiguousarray(v)
-        n = self._lib.vptpu_h264_ipcm_encode(
-            y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h, self._idr,
-            self._scratch.ctypes.data, self._scratch.size,
-            self._out.ctypes.data, self._out.size,
-        )
+        if self.qp is None:
+            n = self._lib.vptpu_h264_ipcm_encode(
+                y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h, self._idr,
+                self._scratch.ctypes.data, self._scratch.size,
+                self._out.ctypes.data, self._out.size,
+            )
+        else:
+            n = self._lib.vptpu_h264_cavlc_encode(
+                y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h,
+                int(self.qp), self._idr,
+                self._scratch.ctypes.data, self._scratch.size,
+                self._out.ctypes.data, self._out.size,
+                None, None, None,
+            )
         if n <= 0:
             raise RuntimeError(f"h264 encode failed ({n})")
         self._idr ^= 1
         return self._out[:n].tobytes()
+
+    def encode_i420_recon(self, y, u, v):
+        """encode_i420 + the spec-exact reconstruction planes a conforming
+        decoder will output (CAVLC tier only; test/validation hook)."""
+        assert self.qp is not None
+        h, w = y.shape
+        need = w * h * 2 + 131072
+        if self._scratch is None or self._scratch.size < need:
+            self._scratch = np.zeros(need, np.uint8)
+            self._out = np.zeros(need + need // 64, np.uint8)
+        y = np.ascontiguousarray(y)
+        u = np.ascontiguousarray(u)
+        v = np.ascontiguousarray(v)
+        ry, ru, rv = np.zeros_like(y), np.zeros_like(u), np.zeros_like(v)
+        n = self._lib.vptpu_h264_cavlc_encode(
+            y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h,
+            int(self.qp), self._idr,
+            self._scratch.ctypes.data, self._scratch.size,
+            self._out.ctypes.data, self._out.size,
+            ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
+        )
+        if n <= 0:
+            raise RuntimeError(f"h264 encode failed ({n})")
+        self._idr ^= 1
+        return self._out[:n].tobytes(), ry, ru, rv
 
     def encode_rgb(self, rgb: np.ndarray) -> bytes:
         """(H, W, 3) uint8 RGB -> one annex-B access unit (SPS+PPS+IDR)."""

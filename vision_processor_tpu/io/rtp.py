@@ -147,10 +147,14 @@ class RTPStreamer:
     """Encoder thread + RTP packetizer, ~30 fps pacing, latest frame only."""
 
     def __init__(self, active: bool, url: str, framerate: float = 30.0,
-                 codec: str | None = None):
+                 codec: str | None = None, qp: int = 24):
         self.active = active
         self.url = url
         self.framerate = framerate
+        # qp 10-29 selects the compressed CAVLC intra tier (the LAN debug
+        # default, <50 Mb/s at 1080p30 on camera content); qp 0 selects
+        # lossless I_PCM (~750 Mb/s at 1080p30 — capture only)
+        self.qp = int(qp) if qp else None
         self._slot = _LatestSlot()
         self._seq = 0
         self._ssrc = np.random.randint(0, 2**31)
@@ -170,7 +174,7 @@ class RTPStreamer:
         try:
             from .native import H264Encoder
 
-            self._encoder = H264Encoder()
+            self._encoder = H264Encoder(qp=self.qp)
             return "h264-native"
         except Exception:
             pass

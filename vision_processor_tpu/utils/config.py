@@ -105,6 +105,9 @@ class VisionConfig:
     stream_ip_base_prefix: str = "224.5.23."
     stream_ip_base_end: int = 100
     stream_port: int = 10100
+    # H.264 debug-stream QP (CAVLC intra tier, 10-29); 0 selects the
+    # lossless I_PCM tier (~12 bits/px — capture only, LAN-hostile)
+    stream_qp: int = 24
 
     # debug (live)
     ground_truth: str = "gt.yml"
@@ -179,6 +182,7 @@ class VisionConfig:
         self.stream_ip_base_prefix = _get(st, "ip_base_prefix", "224.5.23.")
         self.stream_ip_base_end = _get(st, "ip_base_end", 100)
         self.stream_port = _get(st, "port", 10100)
+        self.stream_qp = _get(st, "qp", 24)
 
         dbg = _get(raw, "debug", {}) or {}
         self.ground_truth = _get(dbg, "ground_truth", "gt.yml")
