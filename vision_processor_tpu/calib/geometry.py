@@ -332,18 +332,11 @@ def _assign_model(dst: CameraModel, src: CameraModel) -> None:
     dst.size = src.size.copy()
 
 
-def direct_calibration_refinement(field, cam_id: int, cam_amount: int,
-                                  merged_pixels, line_pixels: np.ndarray,
-                                  img_shape: tuple[int, int],
-                                  calib_height: bool, model: CameraModel) -> None:
-    """Refine the pose against all detected line pixels: residual per model
-    point = distance to the nearest line pixel
-    (reference src/calib/GeomModel.cpp:340-379). The nearest-pixel distance
-    is read from a distance transform of the line-pixel mask."""
-    import cv2
-
+def field_model_points(field, cam_id: int, cam_amount: int,
+                       step: float = 100.0) -> np.ndarray:
+    """Field-marking model points inside this camera's visible extent
+    (reference src/calib/GeomModel.cpp:340-360), (n, 3) with z=0."""
     lines, arcs = field_to_lines(field)
-    step = 100.0
     pts = []
     for p1, p2 in lines:
         delta = p2 - p1
@@ -363,14 +356,22 @@ def direct_calibration_refinement(field, cam_id: int, cam_amount: int,
             )
             a += astep
     pts = np.array(pts)
+    if len(pts) == 0:
+        return np.zeros((0, 3))
     lo, hi = visible_field_extent_estimation(cam_id, cam_amount, field, True)
     keep = (
         (pts[:, 0] >= lo[0]) & (pts[:, 0] <= hi[0])
         & (pts[:, 1] >= lo[1]) & (pts[:, 1] <= hi[1])
     )
     pts = pts[keep]
-    if len(pts) == 0:
-        return
+    return np.concatenate([pts, np.zeros((len(pts), 1))], axis=1)
+
+
+def distance_sampler(line_pixels: np.ndarray, img_shape: tuple[int, int]):
+    """Bilinear sampler over the distance transform of the line-pixel mask:
+    sample(px) = distance to the nearest detected line pixel, with a smooth
+    out-of-image penalty. Makes each LM evaluation O(model points)."""
+    import cv2
 
     h, w = img_shape
     mask = np.full((h, w), 255, dtype=np.uint8)
@@ -396,7 +397,21 @@ def direct_calibration_refinement(field, cam_id: int, cam_amount: int,
         d = d + np.hypot(px[:, 0] - x, px[:, 1] - y)
         return d
 
-    pts3 = np.concatenate([pts, np.zeros((len(pts), 1))], axis=1)
+    return sample_dist
+
+
+def direct_calibration_refinement(field, cam_id: int, cam_amount: int,
+                                  merged_pixels, line_pixels: np.ndarray,
+                                  img_shape: tuple[int, int],
+                                  calib_height: bool, model: CameraModel) -> None:
+    """Refine the pose against all detected line pixels: residual per model
+    point = distance to the nearest line pixel
+    (reference src/calib/GeomModel.cpp:340-379). The nearest-pixel distance
+    is read from a distance transform of the line-pixel mask."""
+    pts3 = field_model_points(field, cam_id, cam_amount)
+    if len(pts3) == 0:
+        return
+    sample_dist = distance_sampler(line_pixels, img_shape)
 
     def residuals(x):
         m = _copy_model(model)
