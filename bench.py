@@ -162,6 +162,12 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False,
         "clipping_tolerance": jnp.float32(10.0),
         "ball_radius": jnp.float32(21.5),
         "tracked_time_delta": jnp.float32(0.005),
+        # in-graph finishing (models/device_finish.py)
+        "min_score": jnp.float32(5.0),
+        "min_cam_edge_distance": jnp.float32(170.0),
+        "reference_force": jnp.float32(0.1),
+        "history_force": jnp.float32(0.7),
+        "bot_heights_yb": jnp.asarray([145.0, 145.0], dtype=jnp.float32),
     }
     if return_scenes:
         return (cfg, raws, packed, scales, offsets, colors, params, geometry,
@@ -179,8 +185,12 @@ def build_rollouts(cfg):
 
 
 def measure_device_sustained(rolls, cfg, raws, packed, scales, offsets,
-                             colors, params):
-    """Device-resident sustained rate via scan-length differencing."""
+                             colors, params, refs=None, marks=None):
+    """Device-resident sustained rate via scan-length differencing.
+
+    With ``refs``/``marks`` the scan includes the in-graph finisher with
+    the production device-carried color chain — the sustained number then
+    prices the FULL per-frame device program."""
     import jax
 
     packed_d = jax.device_put(packed)
@@ -197,10 +207,12 @@ def measure_device_sustained(rolls, cfg, raws, packed, scales, offsets,
     def time_roll(n_frames):
         roll = rolls[n_frames]
         nonlocal compact
-        out = roll(bank, packed_d, scales_d, offsets_d, colors_d, params)
+        out = roll(bank, packed_d, scales_d, offsets_d, colors_d, params,
+                   refs, marks)
         jax.block_until_ready(out)  # compile (cached on reuse)
         t0 = time.perf_counter()
-        out = roll(bank, packed_d, scales_d, offsets_d, colors_d, params)
+        out = roll(bank, packed_d, scales_d, offsets_d, colors_d, params,
+                   refs, marks)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         compact = out[1]
@@ -219,7 +231,8 @@ def measure_device_sustained(rolls, cfg, raws, packed, scales, offsets,
     bots_found = int(np.asarray(compact["bot_valid"][-1]).sum())
     blob_counts = np.asarray(compact["count"][-1]).tolist()
     aux = {"compact": compact, "scan50_s": t50, "bank": bank,
-           "args": (packed_d, scales_d, offsets_d, colors_d, params)}
+           "args": (packed_d, scales_d, offsets_d, colors_d, params,
+                    refs, marks)}
     return per_frameset, bots_found, blob_counts, aux
 
 
@@ -319,6 +332,19 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
     step = batched_step_host_tracked(cfg)
     procs, socks = build_processors(cfg, cams, geometry)
 
+    # in-graph finishing inputs: packed field markings (leading cam axis)
+    # and the per-camera reference colors (models/device_finish.py) — the
+    # production path finishes on device; the host only assembles protobuf
+    from vision_processor_tpu.models.device_finish import pack_field_marks
+
+    marks_one = pack_field_marks(
+        procs[0].perspective.field, procs[0].config.geometry_tolerance
+    )
+    marks = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *([marks_one] * len(procs))
+    )
+    refs = jnp.asarray(np.stack([p.colors.packed_refs() for p in procs]))
+
     packed_d = jax.device_put(packed)
     scales_d = jax.device_put(scales)
     offsets_d = jax.device_put(offsets)
@@ -339,28 +365,29 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
     def dispatch(i, now):
         raw_d = jnp.asarray(bank[i % 4])
         return step(raw_d, packed_d, scales_d, offsets_d, colors_now(),
-                    tracked_now(now), params, grids)
+                    tracked_now(now), params, grids, refs, marks)
 
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(len(procs))
 
     def finish(out, now):
-        blobs, det = jax.device_get(out)
+        blobs, det, fin = jax.device_get(out)
 
         def one(c):
             per_cam = ({k: v[c] for k, v in blobs.items()},
-                       {k: v[c] for k, v in det.items()})
+                       {k: v[c] for k, v in det.items()},
+                       {k: v[c] for k, v in fin.items()})
             wrapper, _, _ = procs[c].finish_frame(per_cam, now, now)
             wrapper.detection.t_sent = time.time()
             socks[c].send(wrapper)
 
         list(pool.map(one, range(len(procs))))
-        return blobs, det
+        return blobs, det, fin
 
     # warm up compile + sockets
     out = dispatch(0, 0.0)
-    blobs_h, det_h = finish(out, 0.0)
+    blobs_h, det_h, fin_h = finish(out, 0.0)
     time.sleep(0.2)
 
     serial = []
@@ -384,7 +411,8 @@ def measure_production(cfg, raws, packed, scales, offsets, colors, params,
     # fan-out as the production loop)
     def host_only(c):
         per_cam = ({k: v[c] for k, v in blobs_h.items()},
-                   {k: v[c] for k, v in det_h.items()})
+                   {k: v[c] for k, v in det_h.items()},
+                   {k: v[c] for k, v in fin_h.items()})
         wrapper, _, _ = procs[c].finish_frame(per_cam, 0.0, 0.0)
         wrapper.detection.t_sent = time.time()
         socks[c].send(wrapper)
@@ -448,21 +476,37 @@ def main():
     _ = np.asarray(jnp.ones((8, 128)) * 2.0)  # force relay eager mode
     print("bench: rigs ready", file=sys.stderr, flush=True)
 
+    # in-graph finisher inputs: the sustained scans include finishing with
+    # the device-carried color chain (the full production device program)
+    import jax as _jax
+
+    from vision_processor_tpu.models.colors import ColorState
+    from vision_processor_tpu.models.device_finish import pack_field_marks
+
+    marks_one = pack_field_marks(cams[0][1].field, 10.0)
+    marks = _jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *([marks_one] * cfg.n_cams)
+    )
+    refs = jnp.asarray(
+        np.stack([ColorState().packed_refs()] * cfg.n_cams)
+    )
+
     rolls = build_rollouts(cfg)
     dev_ms, bots_found, blob_counts, aux = measure_device_sustained(
-        rolls, cfg, raws, packed, scales, offsets, colors, params)
+        rolls, cfg, raws, packed, scales, offsets, colors, params,
+        refs, marks)
     print("bench: device sustained done", file=sys.stderr, flush=True)
 
     cfg_d, raws_d = rig_dense[0], rig_dense[1]
     dev_dense_ms, bots_dense, blob_counts_dense, aux_d = measure_device_sustained(
-        rolls, cfg_d, raws_d, *rig_dense[2:7])
+        rolls, cfg_d, raws_d, *rig_dense[2:7], refs, marks)
     dense_found, dense_total = bot_recall(aux_d["compact"], rig_dense[9])
     print(f"bench: dense sustained done (recall {dense_found}/{dense_total})",
           file=sys.stderr, flush=True)
 
     rolls_f1 = build_rollouts(rig_f1[0])
     dev_f1_ms, bots_f1, _, _ = measure_device_sustained(
-        rolls_f1, rig_f1[0], rig_f1[1], *rig_f1[2:7])
+        rolls_f1, rig_f1[0], rig_f1[1], *rig_f1[2:7], refs, marks)
     print("bench: factor-1.0 sustained done", file=sys.stderr, flush=True)
 
     overlap_frac, upload_meas_s = measure_upload_overlap(

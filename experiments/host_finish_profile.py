@@ -39,17 +39,28 @@ def main():
         cfg, packed, float(params["max_bot_height"]), scales, offsets
     )
     from vision_processor_tpu.app.processor import TrackedArrays
+    from vision_processor_tpu.models.device_finish import pack_field_marks
 
-    tracked = TrackedArrays.build([], 0.0, cfg.det.max_tracked).as_dict()
+    marks_one = pack_field_marks(
+        procs[0].perspective.field, procs[0].config.geometry_tolerance
+    )
+    marks = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *([marks_one] * len(procs))
+    )
+    refs = jnp.asarray(np.stack([p.colors.packed_refs() for p in procs]))
+
+    tracked = TrackedArrays.build({}, 0.0, cfg.det.max_tracked).as_dict()
     out = step(jnp.asarray(raws), jnp.asarray(packed), jnp.asarray(scales),
                jnp.asarray(offsets), jnp.asarray(colors), tracked, params,
-               grids)
-    blobs, det = jax.device_get(out)
+               grids, refs, marks)
+    blobs, det, fin = jax.device_get(out)
 
     def one(c):
         per_cam = ({k: v[c] for k, v in blobs.items()},
-                   {k: v[c] for k, v in det.items()})
+                   {k: v[c] for k, v in det.items()},
+                   {k: v[c] for k, v in fin.items()})
         wrapper, _, _ = procs[c].finish_frame(per_cam, 0.0, 0.0)
+        wrapper.detection.t_sent = time.time()
         socks[c].send(wrapper)
 
     # warm

@@ -121,7 +121,7 @@ def test_make_rollout_device_loop(divb_field):
     colors = jnp.asarray(np.stack([ColorState().packed()] * 2))
 
     roll = M.make_rollout(cfg, step, 4)
-    (_, summary, _prev), compact = roll(
+    (_, summary, _prev, _colors), compact = roll(
         bank, packed, scales, offsets, colors, params()
     )
     jax.block_until_ready(compact)

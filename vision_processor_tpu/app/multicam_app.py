@@ -151,6 +151,28 @@ class MultiCamApp:
             )
             self._grid_key = grid_key
 
+        # packed field markings for the in-graph finisher (leading cam
+        # axis: same field, per-camera geometry tolerance), cached with
+        # the grids
+        if self.configs[0].device_finish:
+            marks_key = (self.mc_cfg.bm,
+                         tuple(c.geometry_tolerance for c in self.configs))
+            if getattr(self, "_marks_key", None) != marks_key:
+                from ..models.device_finish import pack_field_marks
+
+                per_cam = [
+                    pack_field_marks(
+                        p.perspective.field, c.geometry_tolerance
+                    )
+                    for p, c in zip(self.processors, self.configs)
+                ]
+                self._marks = self._jax.tree.map(
+                    lambda *xs: jnp.asarray(np.stack(xs)), *per_cam
+                )
+                self._marks_key = marks_key
+        else:
+            self._marks = None
+
         return (jnp.asarray(packed), jnp.asarray(scales),
                 jnp.asarray(offsets), jnp.asarray(colors), self._grids)
 
@@ -184,20 +206,38 @@ class MultiCamApp:
             self.sockets[0].get_tracked_objects(), now,
             self.processors[0].det_cfg.max_tracked,
         )
-        blobs, det = self._step(
-            jnp.asarray(raws), packed, scales, offsets, colors,
-            tracked.as_dict(), self._fleet_params(), grids,
-        )
+        if self._marks is not None:
+            refs = jnp.asarray(
+                np.stack([p.colors.packed_refs() for p in self.processors])
+            )
+            blobs, det, fin = self._step(
+                jnp.asarray(raws), packed, scales, offsets, colors,
+                tracked.as_dict(), self._fleet_params(), grids,
+                refs, self._marks,
+            )
+        else:
+            fin = None
+            blobs, det = self._step(
+                jnp.asarray(raws), packed, scales, offsets, colors,
+                tracked.as_dict(), self._fleet_params(), grids,
+            )
 
         # per-camera host finishing is independent (separate Processor
-        # state, separate sockets) — fan it out on the reader pool; numpy
-        # releases the GIL for array ops
+        # state, separate sockets) — fan it out on the reader pool; with
+        # the in-graph finisher it is protobuf assembly only
         def finish_one(c):
             proc = self.processors[c]
-            per_cam = (
-                {k: v[c] for k, v in blobs.items()},
-                {k: v[c] for k, v in det.items()},
-            )
+            if fin is not None:
+                per_cam = (
+                    {k: v[c] for k, v in blobs.items()},
+                    {k: v[c] for k, v in det.items()},
+                    {k: v[c] for k, v in fin.items()},
+                )
+            else:
+                per_cam = (
+                    {k: v[c] for k, v in blobs.items()},
+                    {k: v[c] for k, v in det.items()},
+                )
             wrapper, _, _ = proc.finish_frame(
                 per_cam, now, frames[c].timestamp
             )

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..models.colors import ColorState
 from ..models.detector import DetectorConfig, detect, estimate_bot_ids
+from ..models.device_finish import finish_on_device, pack_field_marks
 from ..models.host_detect import HostDetector
 from ..models.perspective import Perspective
 from ..ops.pipeline import BlobMachineConfig, blob_machine
@@ -27,21 +28,35 @@ from ..utils.log import get_logger
 log = get_logger(__name__)
 
 def full_step(bm_cfg: BlobMachineConfig, det_cfg: DetectorConfig, raw, packed_cam,
-              colors7, tracked, params, rs_grid=None):
-    """blob machine + hypothesis search, one device program."""
+              colors7, tracked, params, rs_grid=None, colors7_ref=None,
+              marks=None):
+    """blob machine + hypothesis search, one device program.
+
+    With ``marks`` (packed field markings), the full finishing sequence —
+    color update, id recalc, ball scoring and filters, emission
+    projections — also runs in-graph (models/device_finish.py) and a
+    third ``fin`` output is returned; the host then only assembles
+    protobuf. Without it, finishing stays on the host (parity/fallback
+    path)."""
     blobs = blob_machine(
         bm_cfg, raw, packed_cam, params["max_bot_height"],
         params["min_circularity"], rs_grid=rs_grid,
     )
     det = detect(det_cfg, blobs, tracked, colors7[:6], packed_cam, params)
     # first-pass ids in-graph (pre-update colors — exactly what the host's
-    # build_bots pass needs; the post-color-update pass stays on the host)
+    # build_bots pass needs; the post-color-update pass runs in
+    # finish_on_device or on the host)
     det["bot_id_est"] = estimate_bot_ids(det, blobs["color"], colors7)
     out_blobs = {
         k: blobs[k]
         for k in ("pos", "field_pos", "color", "center", "circ", "score", "valid", "count")
     }
-    return out_blobs, det
+    if marks is None:
+        return out_blobs, det
+    fin = finish_on_device(
+        blobs, det, colors7, colors7_ref, packed_cam, marks, params
+    )
+    return out_blobs, det, fin
 
 
 @dataclass
@@ -151,6 +166,15 @@ class Processor:
         self._geom_key = None
         self._grid = None
         self._grid_key = None
+        self._marks = None
+        self._marks_key = None
+        # device-carried color table (fused finishing): each dispatch
+        # consumes the previous step's in-graph color update directly, so
+        # colors evolve with exact serial semantics even when the App
+        # pipelines dispatch ahead of host finishing (host-side adoption
+        # would lag one extra frame there and halve the convergence rate
+        # of the adaptive colors)
+        self._colors_dev = None
         self.frame_id = 0
 
     def apply_tunables(self) -> None:
@@ -242,6 +266,20 @@ class Processor:
             "min_confidence": jnp.float32(self.config.min_confidence),
             "clipping_tolerance": jnp.float32(self.config.clipping_tolerance),
             "ball_radius": jnp.float32(field.ball_radius or 21.5),
+            # in-graph finishing (models/device_finish.py)
+            "min_score": jnp.float32(self.config.min_score),
+            "min_cam_edge_distance": jnp.float32(
+                self.config.min_cam_edge_distance
+            ),
+            "reference_force": jnp.float32(self.colors.reference_force),
+            "history_force": jnp.float32(self.colors.history_force),
+            "bot_heights_yb": jnp.asarray(
+                [
+                    self.gc_socket.yellow_bot_height if self.gc_socket else 145.0,
+                    self.gc_socket.blue_bot_height if self.gc_socket else 145.0,
+                ],
+                dtype=jnp.float32,
+            ),
         }
 
     def _resample_grid(self):
@@ -262,20 +300,111 @@ class Processor:
             self._grid_key = key
         return self._grid
 
+    def _field_marks(self):
+        """Packed field-marking arrays for the in-graph finisher, cached
+        per geometry version (shapes are geometry-static)."""
+        key = (
+            self.perspective.geometry_version,
+            float(self.config.geometry_tolerance),
+        )
+        if self._marks_key != key:
+            self._marks = pack_field_marks(
+                self.perspective.field, self.config.geometry_tolerance
+            )
+            self._marks_key = key
+        return self._marks
+
     def device_step(self, raw: np.ndarray, fmt: str, tracked: TrackedArrays):
         """Dispatch the jitted step; returns device arrays (async)."""
         self._ensure_step(fmt, tuple(raw.shape))
-        return self._step(
+        if not self.config.device_finish:
+            return self._step(
+                jnp.asarray(raw),
+                jnp.asarray(self.perspective.model.packed()),
+                jnp.asarray(self.colors.packed()),
+                tracked.as_dict(),
+                self.params(),
+                self._resample_grid(),
+            )
+        colors_in = (
+            self._colors_dev
+            if self._colors_dev is not None
+            else jnp.asarray(self.colors.packed())
+        )
+        out = self._step(
             jnp.asarray(raw),
             jnp.asarray(self.perspective.model.packed()),
-            jnp.asarray(self.colors.packed()),
+            colors_in,
             tracked.as_dict(),
             self.params(),
             self._resample_grid(),
+            jnp.asarray(self.colors.packed_refs()),
+            self._field_marks(),
         )
+        self._colors_dev = out[2]["colors7"]
+        return out
+
+    def _frame_shell(self, t_capture: float, t_capture_camera: float):
+        self.frame_id += 1
+        wrapper = SSL_WrapperPacket()
+        wrapper.source = SSL_SOURCE_VISION_PROCESSOR
+        frame = wrapper.detection
+        frame.frame_number = self.frame_id
+        frame.t_capture = t_capture
+        if t_capture_camera:
+            frame.t_capture_camera = t_capture_camera
+        frame.camera_id = self.config.cam_id
+        return wrapper, frame
+
+    def finish_frame_fused(self, device_out, t_capture: float,
+                           t_capture_camera: float = 0.0):
+        """Protobuf-only host finishing for the in-graph finisher: adopt
+        the device-updated colors and fill the detection frame from the
+        final arrays (everything else already ran on device)."""
+        blobs_dev, det_dev, fin_dev = device_out
+        blobs, det, fin = jax.device_get((blobs_dev, det_dev, fin_dev))
+        self.colors.adopt_packed(fin["colors7"])
+
+        wrapper, frame = self._frame_shell(t_capture, t_capture_camera)
+        ids = fin["bot_id"]
+        world = fin["bot_world"]
+        pix = fin["bot_pixel"]
+        orient = fin["bot_orientation"]
+        score = fin["bot_score"]
+        for i in np.flatnonzero(fin["bot_valid"]):
+            bid = int(ids[i])
+            entry = (
+                frame.robots_yellow.add() if bid < 16
+                else frame.robots_blue.add()
+            )
+            entry.confidence = float(score[i])
+            entry.robot_id = bid % 16
+            entry.x = float(world[i, 0])
+            entry.y = float(world[i, 1])
+            entry.height = float(world[i, 2])
+            entry.orientation = float(orient[i])
+            entry.pixel_x = float(pix[i, 0])
+            entry.pixel_y = float(pix[i, 1])
+        bworld = fin["ball_world"]
+        bpix = fin["ball_pixel"]
+        bscore = fin["ball_score"]
+        for j in np.flatnonzero(fin["ball_valid"]):
+            entry = frame.balls.add()
+            entry.confidence = float(bscore[j])
+            entry.x = float(bworld[j, 0])
+            entry.y = float(bworld[j, 1])
+            entry.pixel_x = float(bpix[j, 0])
+            entry.pixel_y = float(bpix[j, 1])
+
+        if self.socket is not None:
+            for off in self.socket.get_received_offsets():
+                frame.t_offsets.append(off)
+        return wrapper, blobs, det
 
     def finish_frame(self, device_out, t_capture: float, t_capture_camera: float = 0.0):
         """Host finishing: colors, ids, filters, protobuf."""
+        if len(device_out) == 3:
+            return self.finish_frame_fused(device_out, t_capture, t_capture_camera)
         blobs_dev, det_dev = device_out
         blobs = {k: np.asarray(v) for k, v in blobs_dev.items()}
         det = {k: np.asarray(v) for k, v in det_dev.items()}
@@ -288,15 +417,7 @@ class Processor:
         self.host.recalc_post_color(bots, balls)
         balls = self.host.filter_balls(balls, max_bot_height)
 
-        self.frame_id += 1
-        wrapper = SSL_WrapperPacket()
-        wrapper.source = SSL_SOURCE_VISION_PROCESSOR
-        frame = wrapper.detection
-        frame.frame_number = self.frame_id
-        frame.t_capture = t_capture
-        if t_capture_camera:
-            frame.t_capture_camera = t_capture_camera
-        frame.camera_id = self.config.cam_id
+        wrapper, frame = self._frame_shell(t_capture, t_capture_camera)
 
         heights = {
             "yellow": self.gc_socket.yellow_bot_height if self.gc_socket else 145.0,

@@ -55,6 +55,29 @@ class ColorState:
             ]
         ).astype(np.float32)
 
+    def packed_refs(self) -> np.ndarray:
+        """(7, 3) f32 reference colors in the packed() row order (the
+        field-line row has no reference — it is never blended — so the
+        field reference fills the slot)."""
+        return np.stack(
+            [
+                self.orange_ref,
+                self.field_ref,
+                self.yellow_ref,
+                self.blue_ref,
+                self.green_ref,
+                self.pink_ref,
+                self.field_ref,
+            ]
+        ).astype(np.float32)
+
+    def adopt_packed(self, colors7: np.ndarray) -> None:
+        """Adopt a device-updated (7, 3) color table (the in-graph
+        finisher's output) as the live state."""
+        c = np.asarray(colors7).astype(np.int64)
+        self.orange, self.field, self.yellow, self.blue = c[0], c[1], c[2], c[3]
+        self.green, self.pink, self.field_line = c[4], c[5], c[6]
+
     def _blend(self, reference: np.ndarray, old: np.ndarray, new: np.ndarray):
         update_force = 1.0 - self.reference_force - self.history_force
         mixed = (
@@ -62,7 +85,12 @@ class ColorState:
             + self.history_force * old.astype(np.float64)
             + update_force * new.astype(np.float64)
         )
-        return mixed.astype(np.int64)  # truncation like the reference cast
+        # truncation like the reference cast, with a boundary nudge: a
+        # stationary color (ref==old==new==v) lands exactly on the integer
+        # boundary, where rounding error makes trunc(v - ulp) = v-1 — the
+        # color would random-walk downward. The nudge keeps exact-boundary
+        # cases stable (device finisher applies the same epsilon).
+        return np.trunc(mixed + 1e-3).astype(np.int64)
 
     def update(self, bots: list, balls: list) -> None:
         """Per-frame update.

@@ -40,6 +40,11 @@ _PER_CAMERA_PARAM_KEYS = frozenset({
     "max_bot_acceleration",
     "min_confidence",
     "clipping_tolerance",
+    # in-graph finishing tunables (models/device_finish.py)
+    "min_score",
+    "min_cam_edge_distance",
+    "reference_force",
+    "history_force",
 })
 
 
@@ -236,7 +241,8 @@ def batched_step(cfg: MultiCamConfig):
     """
 
     def step(raws, packed_cams, field_scales, field_offsets, colors7,
-             prev_summary, params, rs_grids=None, prev_prev_summary=None):
+             prev_summary, params, rs_grids=None, prev_prev_summary=None,
+             colors7_refs=None, marks=None):
         tracked = tracked_from_summaries(
             cfg.det, prev_summary, params["tracked_time_delta"],
             prev_summaries=prev_prev_summary,
@@ -258,7 +264,19 @@ def batched_step(cfg: MultiCamConfig):
         blobs, det, summary = (
             jax.tree.map(lambda *xs: jnp.stack(xs), *group) for group in zip(*outs)
         )
-        return blobs, det, summary
+        if marks is None:
+            return blobs, det, summary
+        # in-graph finishing, BATCHED over cameras (see
+        # batched_step_host_tracked for why vmap is right here)
+        from ..models.device_finish import (
+            finish_on_device_batched, stack_finish_params,
+        )
+
+        fin = finish_on_device_batched(
+            blobs, det, colors7, colors7_refs, packed_cams, marks,
+            stack_finish_params(params, cfg.n_cams),
+        )
+        return blobs, det, summary, fin
 
     return jax.jit(step)
 
@@ -275,7 +293,7 @@ def batched_step_host_tracked(cfg: MultiCamConfig):
     """
 
     def step(raws, packed_cams, field_scales, field_offsets, colors7,
-             tracked, params, rs_grids=None):
+             tracked, params, rs_grids=None, colors7_refs=None, marks=None):
         outs = [
             _single_cam_step(
                 cfg, raws[c], packed_cams[c], field_scales[c],
@@ -289,7 +307,22 @@ def batched_step_host_tracked(cfg: MultiCamConfig):
         blobs, det, _ = (
             jax.tree.map(lambda *xs: jnp.stack(xs), *group) for group in zip(*outs)
         )
-        return blobs, det
+        if marks is None:
+            return blobs, det
+        # in-graph finishing, BATCHED over cameras (vmap, not the unrolled
+        # loop the blob machine needs): the finisher is op-dispatch-bound
+        # small-tensor math with no image-scale gathers, so batching cuts
+        # its device cost ~n_cams-fold; marks carry a leading cam axis so
+        # per-camera geometry tolerances are honored
+        from ..models.device_finish import (
+            finish_on_device_batched, stack_finish_params,
+        )
+
+        fin = finish_on_device_batched(
+            blobs, det, colors7, colors7_refs, packed_cams, marks,
+            stack_finish_params(params, cfg.n_cams),
+        )
+        return blobs, det, fin
 
     return jax.jit(step)
 
@@ -304,7 +337,7 @@ def make_camera_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (CAM_AXIS,))
 
 
-def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
+def sharded_step(cfg: MultiCamConfig, mesh: Mesh, fused: bool = False):
     """Returns a jitted fn sharding ``cfg.n_cams`` cameras over the mesh.
 
     Each device owns ``n_cams / n_devices`` cameras (the production shape
@@ -312,6 +345,12 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
     their blob machines + hypothesis searches unrolled like the single-chip
     batch. The detection summaries are all-gathered over ICI so every
     camera's next frame can track every robot on the field.
+
+    With ``fused=True`` the in-graph finisher (models/device_finish.py)
+    also runs per camera: the call takes two extra args — per-camera
+    reference colors (sharded) and the packed field markings (replicated,
+    same field) — and returns a fourth ``fin`` output sharded like the
+    blobs.
     """
     n_dev = int(np.prod(mesh.devices.shape))
     if cfg.n_cams % n_dev:
@@ -320,7 +359,8 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
         )
     n_local = cfg.n_cams // n_dev
 
-    def per_device(raw, packed_cam, field_scale, field_offset, colors7, prev_gathered, params):
+    def per_device(raw, packed_cam, field_scale, field_offset, colors7,
+                   prev_gathered, params, *fin_args):
         # inputs arrive with a leading local shard axis of size n_local.
         # params is REPLICATED (P()), so per-camera (n_cams,) tunable
         # arrays must be indexed by the GLOBAL camera id, not the local
@@ -352,16 +392,36 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh):
         gathered = jax.tree.map(
             lambda x: jax.lax.all_gather(x, CAM_AXIS), summary
         )
-        return blobs, det, gathered
+        if not fused:
+            return blobs, det, gathered
+        colors7_refs, marks = fin_args
+        from ..models.device_finish import finish_on_device
+
+        fins = [
+            finish_on_device(
+                outs[i][0], outs[i][1], colors7[i], colors7_refs[i],
+                packed_cam[i], marks, params_for_cam(params, cam0 + i),
+            )
+            for i in range(n_local)
+        ]
+        fin = jax.tree.map(lambda *xs: jnp.stack(xs), *fins)
+        return blobs, det, gathered, fin
 
     spec_cam = P(CAM_AXIS)
     spec_rep = P()
 
+    in_specs = [spec_cam, spec_cam, spec_cam, spec_cam, spec_cam, spec_rep,
+                spec_rep]
+    out_specs = [spec_cam, spec_cam, spec_rep]
+    if fused:
+        in_specs += [spec_cam, spec_rep]
+        out_specs += [spec_cam]
+
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(spec_cam, spec_cam, spec_cam, spec_cam, spec_cam, spec_rep, spec_rep),
-        out_specs=(spec_cam, spec_cam, spec_rep),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -488,9 +548,16 @@ def make_rollout(cfg: MultiCamConfig, step_fn, n_frames: int):
     distinct frames (so no stage is loop-invariant and the whole pipeline
     really runs every step) and feeds the previous detections back as
     tracking priors. Returns a jitted fn(raw_bank, packed, scales, offsets,
-    colors, params) with raw_bank (K, n_cams, ...)."""
+    colors, params[, colors7_refs, marks]) with raw_bank (K, n_cams, ...).
 
-    def scan_fn(raw_bank, packed_cams, field_scales, field_offsets, colors7, params):
+    With ``colors7_refs``/``marks`` the in-graph finisher runs every frame
+    and the color table is carried through the scan exactly like the
+    production device-carried chain (Processor._colors_dev) — so the
+    sustained number prices the FULL production device program, finishing
+    included."""
+
+    def scan_fn(raw_bank, packed_cams, field_scales, field_offsets, colors7,
+                params, colors7_refs=None, marks=None):
         n_bank = raw_bank.shape[0]
         # frame-invariant sampling geometry, computed once per rollout
         grids = resample_grids_traced(
@@ -499,22 +566,34 @@ def make_rollout(cfg: MultiCamConfig, step_fn, n_frames: int):
         )
 
         def body(carry, _):
-            i, prev_summary, prev_prev = carry
+            i, prev_summary, prev_prev, colors_c = carry
             raws = jax.lax.dynamic_index_in_dim(
                 raw_bank, i % n_bank, axis=0, keepdims=False
             )
-            blobs, det, summary = step_fn(
-                raws, packed_cams, field_scales, field_offsets, colors7,
-                prev_summary, params, grids, prev_prev,
-            )
+            if marks is None:
+                blobs, det, summary = step_fn(
+                    raws, packed_cams, field_scales, field_offsets, colors_c,
+                    prev_summary, params, grids, prev_prev,
+                )
+                colors_next = colors_c
+                n_balls = jnp.zeros(cfg.n_cams, dtype=jnp.int32)
+            else:
+                blobs, det, summary, fin = step_fn(
+                    raws, packed_cams, field_scales, field_offsets, colors_c,
+                    prev_summary, params, grids, prev_prev,
+                    colors7_refs, marks,
+                )
+                colors_next = fin["colors7"]
+                n_balls = jnp.sum(fin["ball_valid"], axis=-1).astype(jnp.int32)
             compact = {
                 "count": blobs["count"],
                 "bot_valid": det["bot_valid"],
                 "bot_pos": det["bot_pos"],
+                "n_balls": n_balls,
             }
-            return (i + 1, summary, prev_summary), compact
+            return (i + 1, summary, prev_summary, colors_next), compact
 
-        init = (jnp.int32(0), empty_summary(cfg), empty_summary(cfg))
+        init = (jnp.int32(0), empty_summary(cfg), empty_summary(cfg), colors7)
         return jax.lax.scan(body, init, None, length=n_frames)
 
     return jax.jit(scan_fn)

@@ -66,6 +66,10 @@ class VisionConfig:
     resampling_factor: float = 1.0
     clipping_tolerance: float = 10.0
     geometry_tolerance: float = 10.0
+    # run color update / id recalc / ball filters in-graph (the host keeps
+    # only protobuf assembly); the host finishing path remains available
+    # for parity testing and as a fallback
+    device_finish: bool = True
 
     # color (live)
     reference_force: float = 0.1
@@ -196,6 +200,14 @@ class VisionConfig:
         self.min_cam_edge_distance = _get(th, "min_cam_edge_distance", 170.0)
         self.resampling_factor = _get(th, "resampling_factor", 1.0)
         self.clipping_tolerance = _get(th, "clipping_tolerance", 10.0)
+        # VPTPU_DEVICE_FINISH env overrides the config (ops escape hatch
+        # to fall back to host finishing without touching config files)
+        env_df = os.environ.get("VPTPU_DEVICE_FINISH")
+        self.device_finish = (
+            env_df not in ("0", "false", "no")
+            if env_df is not None
+            else bool(_get(th, "device_finish", True))
+        )
 
         tr = _get(raw, "tracking", {}) or {}
         self.min_tracking_radius = _get(tr, "min_tracking_radius", 20.0)
