@@ -29,7 +29,8 @@ import numpy as np
 
 
 def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False,
-              dense_blobs=200, resampling_factor=1.0, return_scenes=False):
+              dense_blobs=200, resampling_factor=1.0, return_scenes=False,
+              resample_mode="warp"):
     """4 cameras, one per field quadrant, 1080p Bayer each."""
     import jax.numpy as jnp
 
@@ -136,6 +137,9 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False,
         sat_radius=B.sat_radius(ref.min_blob_radius, ref.field_scale),
         disc_radius=B.disc_radius(ref.min_blob_radius, ref.field_scale),
         max_blobs=max_blobs,
+        # two-pass Pallas warp resample (ops/warp.py) — the production
+        # default on TPU; warp_fits holds on these overhead rigs
+        resample_mode=resample_mode,
     )
     det = DetectorConfig(max_blobs=max_blobs, max_tracked=32)
     cfg = MultiCamConfig(bm=bm, det=det, n_cams=n_cams)

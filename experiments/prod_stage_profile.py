@@ -50,7 +50,7 @@ def main():
     _ = np.asarray(jnp.ones((8, 128)) * 2)
 
     cfg, raws, packed, scales, offsets, colors, params = build_rig(
-        max_blobs=2000)[:7]
+        max_blobs=2000, resampling_factor=float(__import__('os').environ.get('PROF_FACTOR', '1.0')))[:7]
     bm = cfg.bm
     det_cfg = cfg.det
     raw = jnp.asarray(raws[0])
@@ -106,7 +106,7 @@ def main_extract():
     _ = np.asarray(jnp.ones((8, 128)) * 2)
 
     cfg, raws, packed, scales, offsets, colors, params = build_rig(
-        max_blobs=2000)[:7]
+        max_blobs=2000, resampling_factor=float(__import__('os').environ.get('PROF_FACTOR', '1.0')))[:7]
     bm = cfg.bm
     raw = jnp.asarray(raws[0])
     fs = jnp.float32(scales[0])
@@ -174,7 +174,7 @@ def main_barrier():
     duplicating the resample chain into every consumer?"""
     _ = np.asarray(jnp.ones((8, 128)) * 2)
     cfg, raws, packed, scales, offsets, colors, params = build_rig(
-        max_blobs=2000)[:7]
+        max_blobs=2000, resampling_factor=float(__import__('os').environ.get('PROF_FACTOR', '1.0')))[:7]
     bm = cfg.bm
     det_cfg = cfg.det
     raw = jnp.asarray(raws[0])

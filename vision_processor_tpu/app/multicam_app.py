@@ -105,6 +105,33 @@ class MultiCamApp:
             disc_radius=B.disc_radius(ref.min_blob_radius, ref.field_scale),
             max_blobs=self.configs[0].max_blobs,
         )
+        # two-pass Pallas warp resample when EVERY camera's geometry admits
+        # it (the batched program shares one mode); mirrors the
+        # single-camera auto-resolution in Processor._ensure_step
+        mode = self.configs[0].resample_mode
+        if mode == "auto":
+            if self._jax.default_backend() != "tpu":
+                mode = "gather"
+            else:
+                from ..ops.warp import warp_fits
+
+                fits = all(
+                    warp_fits(
+                        pp.model, pp.field_scale,
+                        (pp.visible_field_extent[0],
+                         pp.visible_field_extent[2]),
+                        bm.flat_shape, bm.plane_shape,
+                        float(proc.max_bot_height),
+                    )
+                    for pp, proc in zip(persp, self.processors)
+                )
+                mode = "warp" if fits else "gather"
+                if not fits:
+                    log.info("warp_fits rejected a camera; gather resample")
+        if mode != bm.resample_mode:
+            from dataclasses import replace
+
+            bm = replace(bm, resample_mode=mode)
         det = DetectorConfig(max_blobs=bm.max_blobs,
                              max_tracked=self.processors[0].det_cfg.max_tracked)
         self.mc_cfg = MultiCamConfig(bm=bm, det=det, n_cams=self.n_cams)

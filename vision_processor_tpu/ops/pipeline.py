@@ -26,6 +26,17 @@ _resample_grid_jit = jax.jit(
 )
 
 
+def _warp_grid_impl(*args, **kwargs):
+    from . import warp as W
+
+    return W.warp_grid(*args, **kwargs)
+
+
+_warp_grid_jit = jax.jit(
+    _warp_grid_impl, static_argnames=("out_shape", "plane_shape", "fmt")
+)
+
+
 @dataclass(frozen=True)
 class BlobMachineConfig:
     """Static compile-time configuration of the per-frame graph."""
@@ -43,6 +54,10 @@ class BlobMachineConfig:
     # exact per-plane quarter-pixel bilinear (16 gathers) vs the packed
     # single-cell sampler (4 gathers, <=0.25 px boundary approximation)
     exact_resample: bool = False
+    # "gather": cached-grid XLA gather (bit-exact with the uncached path);
+    # "warp": two-pass separable Pallas warp (ops/warp.py) — ~3x faster,
+    # sub-pixel-equivalent; requires ops.warp.warp_fits on the geometry
+    resample_mode: str = "gather"
 
     @property
     def plane_shape(self) -> tuple[int, int]:
@@ -59,6 +74,16 @@ class BlobMachineConfig:
         Call once per calibration / bot-height change and pass the result to
         ``blob_machine(..., rs_grid=...)``.
         """
+        if self.resample_mode == "warp":
+            return _warp_grid_jit(
+                jnp.asarray(packed_cam, dtype=jnp.float32),
+                jnp.float32(max_bot_height),
+                self.field_scale if field_scale is None else field_scale,
+                self.field_offset if field_offset is None else field_offset,
+                out_shape=self.flat_shape,
+                plane_shape=self.plane_shape,
+                fmt=self.fmt,
+            )
         return _resample_grid_jit(
             jnp.asarray(packed_cam, dtype=jnp.float32),
             jnp.float32(max_bot_height),
@@ -76,6 +101,7 @@ class BlobMachineConfig:
         raw_shape: tuple[int, ...],
         max_blobs: int = 2000,
         debug_images: bool = False,
+        resample_mode: str = "gather",
     ) -> "BlobMachineConfig":
         hf = int(perspective.reprojected_field_size[1])
         wf = int(perspective.reprojected_field_size[0])
@@ -99,6 +125,7 @@ class BlobMachineConfig:
             ),
             max_blobs=max_blobs,
             debug_images=debug_images,
+            resample_mode=resample_mode,
         )
 
 
@@ -134,6 +161,12 @@ def blob_machine(
             field_offset,
             cfg.flat_shape,
             cfg.fmt,
+        )
+    elif rs_grid is not None and "pos1" in rs_grid:
+        from . import warp as W
+
+        flat = W.resample_flat_warp(
+            raw, rs_grid, cfg.fmt, cfg.flat_shape, cfg.plane_shape
         )
     elif rs_grid is not None:
         flat = F.resample_flat_grid_raw(raw, rs_grid, cfg.fmt)

@@ -202,6 +202,22 @@ def resample_grids_traced(
     """
     from ..ops import frame as F
 
+    if cfg.bm.resample_mode == "warp":
+        from ..ops import warp as W
+
+        grids = [
+            W.warp_grid(
+                packed_cams[c],
+                max_bot_height,
+                field_scales[c],
+                field_offsets[c],
+                cfg.bm.flat_shape,
+                cfg.bm.plane_shape,
+                cfg.bm.fmt,
+            )
+            for c in range(cfg.n_cams)
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
     grids = [
         F.resample_grid(
             packed_cams[c],
@@ -451,13 +467,25 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
         from ..ops import frame as F
 
         # frame-invariant sampling geometry, hoisted out of the scan
-        grids = [
-            F.resample_grid(
-                packed_cam[i], params["max_bot_height"], field_scale[i],
-                field_offset[i], cfg.bm.flat_shape, cfg.bm.plane_shape,
-            )
-            for i in range(n_local)
-        ]
+        if cfg.bm.resample_mode == "warp":
+            from ..ops import warp as W
+
+            grids = [
+                W.warp_grid(
+                    packed_cam[i], params["max_bot_height"], field_scale[i],
+                    field_offset[i], cfg.bm.flat_shape, cfg.bm.plane_shape,
+                    cfg.bm.fmt,
+                )
+                for i in range(n_local)
+            ]
+        else:
+            grids = [
+                F.resample_grid(
+                    packed_cam[i], params["max_bot_height"], field_scale[i],
+                    field_offset[i], cfg.bm.flat_shape, cfg.bm.plane_shape,
+                )
+                for i in range(n_local)
+            ]
 
         # params is replicated: per-camera tunables index by GLOBAL cam id
         cam0 = jax.lax.axis_index(CAM_AXIS) * n_local

@@ -66,6 +66,9 @@ class VisionConfig:
     resampling_factor: float = 1.0
     clipping_tolerance: float = 10.0
     geometry_tolerance: float = 10.0
+    # "auto": two-pass Pallas warp resample when the geometry admits it
+    # (ops/warp.py warp_fits), else the XLA gather; "gather"/"warp" force
+    resample_mode: str = "auto"
     # run color update / id recalc / ball filters in-graph (the host keeps
     # only protobuf assembly); the host finishing path remains available
     # for parity testing and as a fallback
@@ -200,6 +203,7 @@ class VisionConfig:
         self.min_cam_edge_distance = _get(th, "min_cam_edge_distance", 170.0)
         self.resampling_factor = _get(th, "resampling_factor", 1.0)
         self.clipping_tolerance = _get(th, "clipping_tolerance", 10.0)
+        self.resample_mode = str(_get(th, "resample_mode", "auto"))
         # VPTPU_DEVICE_FINISH env overrides the config (ops escape hatch
         # to fall back to host finishing without touching config files)
         env_df = os.environ.get("VPTPU_DEVICE_FINISH")
