@@ -137,10 +137,27 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False,
         sat_radius=B.sat_radius(ref.min_blob_radius, ref.field_scale),
         disc_radius=B.disc_radius(ref.min_blob_radius, ref.field_scale),
         max_blobs=max_blobs,
-        # two-pass Pallas warp resample (ops/warp.py) — the production
-        # default on TPU; warp_fits holds on these overhead rigs
-        resample_mode=resample_mode,
     )
+    # two-pass Pallas warp resample (ops/warp.py) — the production default
+    # on TPU; resolved per-geometry exactly like Processor._ensure_step so
+    # an unfit camera can never silently mis-sample the headline numbers
+    if resample_mode == "warp":
+        from vision_processor_tpu.ops.warp import warp_fits
+
+        assert all(
+            warp_fits(m, float(scales_i), (float(o[0]), float(o[1])),
+                      bm.flat_shape, bm.plane_shape, 150.0)
+            for (m, _), scales_i, o in zip(
+                cams,
+                [p.field_scale for _, p in cams],
+                [(p.visible_field_extent[0], p.visible_field_extent[2])
+                 for _, p in cams],
+            )
+        ), "bench rig geometry rejected by warp_fits"
+    if resample_mode != bm.resample_mode:
+        import dataclasses
+
+        bm = dataclasses.replace(bm, resample_mode=resample_mode)
     det = DetectorConfig(max_blobs=max_blobs, max_tracked=32)
     cfg = MultiCamConfig(bm=bm, det=det, n_cams=n_cams)
 

@@ -62,6 +62,49 @@ def test_warp_vs_gather_smooth():
     assert np.percentile(inner, 99) < 4.0, np.percentile(inner, 99)
 
 
+def test_warp_vs_gather_smooth_bgr():
+    """Same agreement on the BGR path (full-resolution planes, zero
+    quarter-pixel offsets, u32 packing with a zero 4th byte)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vision_processor_tpu.ops.pipeline import blob_machine
+
+    geometry, model, bm_cfg, params = _small_rig()
+    h, w = bm_cfg.raw_shape
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    raw = np.stack(
+        [
+            96.0 + 64.0 * np.sin(xx / 37.0) + 48.0 * np.cos(yy / 29.0),
+            80.0 + 70.0 * np.cos(xx / 23.0),
+            120.0 + 50.0 * np.sin((xx + yy) / 41.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    flats = {}
+    for mode in ("gather", "warp"):
+        cfg = dataclasses.replace(
+            bm_cfg, fmt="BGR", raw_shape=(h, w, 3), debug_images=True,
+            resample_mode=mode,
+        )
+        grid = cfg.make_resample_grid(
+            np.asarray(model.packed()), float(params["max_bot_height"])
+        )
+        out = blob_machine(
+            cfg, jnp.asarray(raw), jnp.asarray(model.packed()),
+            params["max_bot_height"], params["min_circularity"],
+            rs_grid=grid,
+        )
+        flats[mode] = np.asarray(out["flat"])
+
+    d = np.abs(flats["warp"] - flats["gather"])
+    inner = d[2:-2, 2:-2]
+    assert inner.mean() < 1.0, inner.mean()
+    assert np.percentile(inner, 99) < 4.0, np.percentile(inner, 99)
+
+
 def test_warp_fits_overhead(divb_field, overhead_model):
     from vision_processor_tpu.models.perspective import Perspective
     from vision_processor_tpu.ops.pipeline import BlobMachineConfig
@@ -72,6 +115,45 @@ def test_warp_fits_overhead(divb_field, overhead_model):
     assert warp_fits(
         overhead_model, cfg.field_scale, cfg.field_offset,
         cfg.flat_shape, cfg.plane_shape, 150.0,
+    )
+
+
+def test_warp_fits_tie_semantics():
+    """Exact v ties from clip saturation at the frame border are accepted
+    (edge-replication, same clamp as the gather); an unsaturated interior
+    fold is rejected (the per-column inversion would be ill-defined).
+    Regression: the factor-1.0 bench rigs tie on row 0 and must fit."""
+    import numpy as np
+
+    from vision_processor_tpu.ops.warp import warp_fits
+
+    class LinearModel:
+        """v = a*y + b (projection linear in field coords), u = x/4."""
+
+        def __init__(self, a, b):
+            self.a, self.b = a, b
+
+        def field2image(self, pts):
+            u = pts[:, 0] / 4.0
+            v = self.a * pts[:, 1] + self.b
+            return np.stack([u, v], axis=-1)
+
+    out_shape, plane_shape = (64, 128), (64, 128)
+    # maps the first few output rows BELOW v=0 (clip ties at the border)
+    sat = LinearModel(a=0.9, b=-2.0)
+    assert warp_fits(sat, 1.0, (0.0, 0.0), out_shape, plane_shape, 150.0)
+
+    class FoldModel(LinearModel):
+        def field2image(self, pts):
+            img = super().field2image(pts)
+            img[:, 1] = np.where(
+                pts[:, 1] < 32.0, img[:, 1], 0.9 * 32.0 - 2.0
+            )  # interior plateau, then flat — unsaturated ties
+            return img
+
+    assert not warp_fits(
+        FoldModel(a=0.9, b=-2.0), 1.0, (0.0, 0.0), out_shape, plane_shape,
+        150.0,
     )
 
 

@@ -201,7 +201,14 @@ def warp_fits(model, field_scale, field_offset, out_shape, plane_shape,
     u = np.clip(img[..., 0] - 0.5, 0.0, w2 - 1.0)
     v = np.clip(img[..., 1] - 0.5, 0.0, h2 - 1.0)
     dv = np.diff(v[:hf], axis=0)
-    if not ((dv > 0).all() or (dv < 0).all()):
+    if not ((dv >= 0).all() or (dv <= 0).all()):
+        return False
+    # exact ties are fine where the clip saturates (border rows replicate
+    # the edge — the gather path clamps identically there; the inversion
+    # ramp keeps interp well-defined); an UNsaturated tie means the map
+    # genuinely folds and the column is not invertible
+    sat = (v[:hf] <= 0.0) | (v[:hf] >= h2 - 1.0)
+    if ((dv == 0) & ~(sat[:-1] | sat[1:])).any():
         return False
 
     def span_ok(pos, blk_rows, n_src):
