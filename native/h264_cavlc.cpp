@@ -18,6 +18,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include "h264_common.h"
 
@@ -374,11 +376,13 @@ struct PlaneCtx {
     int stride;
     int16_t* nnz;         // per-4x4-block TotalCoeff map, width blk_w
     int blk_w;
+    int blk_y0 = 0;       // first block row of this slice (9.2.1 top
+                          // availability stops at the slice boundary)
 };
 
 // nC from neighbouring 4x4 blocks' TotalCoeff (9.2.1)
 static int pred_nc(const PlaneCtx& p, int bx, int by) {
-    bool left = bx > 0, top = by > 0;
+    bool left = bx > 0, top = by > p.blk_y0;
     if (left && top)
         return (p.nnz[by * p.blk_w + bx - 1] + p.nnz[(by - 1) * p.blk_w + bx] + 1) >> 1;
     if (left) return p.nnz[by * p.blk_w + bx - 1];
@@ -402,9 +406,10 @@ static QuantParams make_qp(int qp) {
 
 static inline int32_t quant_coeff(int32_t w, int cls, const QuantParams& q,
                                   int extra_shift) {
+    // int32 suffices: |w| <= 255*36 (two 1-D passes of gain 6), kMF <=
+    // 13107, product < 2^27.4; f < 2^17 — comfortably inside int32
     int32_t f = q.f_intra << extra_shift;
-    int32_t lv = int32_t((int64_t(std::abs(w)) * kMF[q.mod][cls] + f)
-                         >> (q.qbits + extra_shift));
+    int32_t lv = (std::abs(w) * kMF[q.mod][cls] + f) >> (q.qbits + extra_shift);
     return w < 0 ? -lv : lv;
 }
 
@@ -416,49 +421,19 @@ static inline int32_t dequant_ac(int32_t c, int cls, const QuantParams& q) {
     return (c * ls + (1 << (sh - 1))) >> sh;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Encode one I420 frame as annex-B [SPS][PPS][IDR slice], all Intra_16x16
-// DC-predicted with CAVLC residuals at the given QP (clamped to [10, 29]).
-// recon_y/u/v (optional, may be NULL) receive the spec-exact reconstruction
-// a conforming decoder will output. Returns bytes written or -1.
-long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
-                             const uint8_t* v, int width, int height,
-                             int qp, int idr_pic_id,
-                             uint8_t* scratch, long scratch_cap,
-                             uint8_t* out, long out_cap,
-                             uint8_t* recon_y, uint8_t* recon_u,
-                             uint8_t* recon_v) {
-    if (width % 16 || height % 16) return -1;
-    if (qp < 10) qp = 10;
-    if (qp > 29) qp = 29;
-    const int mbs_x = width / 16, mbs_y = height / 16;
-    const int cw = width / 2, ch = height / 2;
-    const QuantParams q = make_qp(qp);        // luma and (qp<30) chroma alike
-
-    // reconstruction planes + nnz maps live in heap scratch
-    uint8_t* ry = recon_y ? recon_y : (uint8_t*)malloc(size_t(width) * height);
-    uint8_t* ru = recon_u ? recon_u : (uint8_t*)malloc(size_t(cw) * ch);
-    uint8_t* rv = recon_v ? recon_v : (uint8_t*)malloc(size_t(cw) * ch);
-    int16_t* nnz_y = (int16_t*)calloc(size_t(mbs_x * 4) * (mbs_y * 4), 2);
-    int16_t* nnz_u = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
-    int16_t* nnz_v = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
-    if (!ry || !ru || !rv || !nnz_y || !nnz_u || !nnz_v) return -1;
-
-    PlaneCtx py{ry, width, nnz_y, mbs_x * 4};
-    PlaneCtx pu{ru, cw, nnz_u, mbs_x * 2};
-    PlaneCtx pv{rv, cw, nnz_v, mbs_x * 2};
-
-    long off = vptpu::emit_sps_pps(out, out_cap, 0, scratch, scratch_cap,
-                                   mbs_x, mbs_y);
-    long rc = -1;
-    if (off < 0) goto done;
-
+// One slice: MB rows [my0, my1). Intra prediction and nC contexts stop at
+// the slice boundary (neighbor availability is slice-local, 6.4.8), so
+// slices are fully independent — recon/nnz rows are disjoint per slice and
+// the arrays can be shared without synchronization.
+static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                         int width, int cw, int mbs_x, int my0, int my1,
+                         const QuantParams& q, int qp, int idr_pic_id,
+                         PlaneCtx py, PlaneCtx pu, PlaneCtx pv,
+                         BitWriter& w) {
+    uint8_t* ry = py.recon;
+    int16_t* nnz_y = py.nnz;
     {
-        BitWriter w{scratch, scratch_cap};
-        w.put_ue(0);                      // first_mb_in_slice
+        w.put_ue(uint32_t(my0 * mbs_x));  // first_mb_in_slice
         w.put_ue(7);                      // slice_type: I (all slices)
         w.put_ue(0);                      // pic_parameter_set_id
         w.put_bits(0, 4);                 // frame_num (IDR: 0)
@@ -475,13 +450,13 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
         static const int kBlkY[16] = {0, 0, 1, 1, 0, 0, 1, 1,
                                       2, 2, 3, 3, 2, 2, 3, 3};
 
-        for (int my = 0; my < mbs_y; ++my) {
+        for (int my = my0; my < my1; ++my) {
             for (int mx = 0; mx < mbs_x; ++mx) {
                 // ---- luma: Intra_16x16 DC prediction off the recon ----
                 const int x0 = mx * 16, y0 = my * 16;
                 int32_t pred;
                 {
-                    bool top = my > 0, left = mx > 0;
+                    bool top = my > my0, left = mx > 0;
                     int32_t s = 0;
                     if (top)
                         for (int i = 0; i < 16; ++i)
@@ -498,6 +473,7 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                 int32_t dcq[16];       // quantized DC levels (block order)
                 int32_t dc_raw[16];    // raw transform DCs (raster order)
                 bool any_ac = false;
+                uint32_t ac_mask = 0;  // bit b: block b has a nonzero AC
                 for (int b = 0; b < 16; ++b) {
                     int bx = kBlkX[b], by = kBlkY[b];
                     int32_t blk[16], tr[16];
@@ -510,7 +486,7 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                     dc_raw[by * 4 + bx] = tr[0];
                     for (int i = 1; i < 16; ++i) {
                         wq[b][i] = quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
-                        if (wq[b][i]) any_ac = true;
+                        if (wq[b][i]) { any_ac = true; ac_mask |= 1u << b; }
                     }
                     wq[b][0] = 0;
                 }
@@ -523,9 +499,9 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                         // (8.5.10: (f * 16*V00) >> (6 - qp/6), then the
                         // core inverse's >> 6) has 4x less gain than the
                         // AC path, so levels carry 4x the precision
-                        int32_t lv = int32_t(
-                            (int64_t(std::abs(hd[i])) * kMF[q.mod][0]
-                             + 4 * int64_t(q.f_intra)) >> (q.qbits + 2));
+                        // |hd| <= 4*255*36 -> product < 2^29.1: int32 ok
+                        int32_t lv = (std::abs(hd[i]) * kMF[q.mod][0]
+                                      + 4 * q.f_intra) >> (q.qbits + 2);
                         hq[i] = hd[i] < 0 ? -lv : lv;
                     }
                     for (int b = 0; b < 16; ++b)
@@ -541,11 +517,12 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                 int32_t cwq[2][4][16]; // quantized AC
                 int32_t cdcq[2][4];    // quantized 2x2 DC
                 bool c_any_ac = false, c_any_dc = false;
+                uint32_t cac_mask[2] = {0, 0};  // bit b: block b has AC
                 for (int comp = 0; comp < 2; ++comp) {
                     const uint8_t* src = srcs[comp];
                     uint8_t* rec = pcs[comp]->recon;
                     const int cx0 = mx * 8, cy0 = my * 8;
-                    bool top = my > 0, left = mx > 0;
+                    bool top = my > my0, left = mx > 0;
                     // 8.3.4.1 DC prediction per 4x4 sub-block
                     for (int b = 0; b < 4; ++b) {
                         int sx = (b & 1) * 4, sy = (b >> 1) * 4;
@@ -584,7 +561,10 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                         for (int i = 1; i < 16; ++i) {
                             cwq[comp][b][i] =
                                 quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
-                            if (cwq[comp][b][i]) c_any_ac = true;
+                            if (cwq[comp][b][i]) {
+                                c_any_ac = true;
+                                cac_mask[comp] |= 1u << b;
+                            }
                         }
                         cwq[comp][b][0] = 0;
                     }
@@ -595,9 +575,9 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                     int32_t h3 = cdc_raw[0] - cdc_raw[1] - cdc_raw[2] + cdc_raw[3];
                     int32_t hs[4] = {h0, h1, h2, h3};
                     for (int i = 0; i < 4; ++i) {
-                        int32_t lv = int32_t(
-                            (int64_t(std::abs(hs[i])) * kMF[q.mod][0]
-                             + 2 * q.f_intra) >> (q.qbits + 1));
+                        // |hs| <= 4*255*36: int32 ok (cf. quant_coeff)
+                        int32_t lv = (std::abs(hs[i]) * kMF[q.mod][0]
+                                      + 2 * q.f_intra) >> (q.qbits + 1);
                         cdcq[comp][i] = hs[i] < 0 ? -lv : lv;
                         if (cdcq[comp][i]) c_any_dc = true;
                     }
@@ -665,27 +645,47 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                 // ---- reconstruction (decoder-identical) ----
                 // luma DC dequant (8.5.10, qp < 36 branch)
                 {
-                    int32_t hin[16], f2[16];
-                    for (int i = 0; i < 16; ++i) hin[i] = 0;
+                    bool any_dc = false;
                     for (int b = 0; b < 16; ++b)
-                        hin[kBlkY[b] * 4 + kBlkX[b]] = dcq[b];
-                    hadamard4x4(hin, f2);
-                    int sh = 6 - q.qp / 6;
-                    int32_t ls = 16 * kV[q.mod][0];
-                    int32_t dcd[16];
-                    for (int i = 0; i < 16; ++i)
-                        dcd[i] = (f2[i] * ls + (1 << (sh - 1))) >> sh;
-                    for (int b = 0; b < 16; ++b) {
-                        int bx = kBlkX[b], by = kBlkY[b];
-                        int32_t d[16], res[16];
-                        d[0] = dcd[by * 4 + bx];
-                        for (int i = 1; i < 16; ++i)
-                            d[i] = dequant_ac(wq[b][i], pclass(i / 4, i % 4), q);
-                        inv4x4(d, res);
-                        for (int r = 0; r < 4; ++r)
-                            for (int c = 0; c < 4; ++c)
-                                ry[(y0 + by * 4 + r) * width + x0 + bx * 4 + c] =
-                                    clip255(pred + res[4 * r + c]);
+                        if (dcq[b]) { any_dc = true; break; }
+                    if (!any_ac && !any_dc) {
+                        // all-zero MB: recon is the flat prediction
+                        for (int r = 0; r < 16; ++r)
+                            memset(ry + (y0 + r) * width + x0,
+                                   uint8_t(pred), 16);
+                    } else {
+                        int32_t hin[16], f2[16];
+                        for (int i = 0; i < 16; ++i) hin[i] = 0;
+                        for (int b = 0; b < 16; ++b)
+                            hin[kBlkY[b] * 4 + kBlkX[b]] = dcq[b];
+                        hadamard4x4(hin, f2);
+                        int sh = 6 - q.qp / 6;
+                        int32_t ls = 16 * kV[q.mod][0];
+                        int32_t dcd[16];
+                        for (int i = 0; i < 16; ++i)
+                            dcd[i] = (f2[i] * ls + (1 << (sh - 1))) >> sh;
+                        for (int b = 0; b < 16; ++b) {
+                            int bx = kBlkX[b], by = kBlkY[b];
+                            if (dcd[by * 4 + bx] == 0
+                                && !(ac_mask & (1u << b))) {
+                                for (int r = 0; r < 4; ++r)
+                                    memset(ry + (y0 + by * 4 + r) * width
+                                               + x0 + bx * 4,
+                                           uint8_t(pred), 4);
+                                continue;
+                            }
+                            int32_t d[16], res[16];
+                            d[0] = dcd[by * 4 + bx];
+                            for (int i = 1; i < 16; ++i)
+                                d[i] = dequant_ac(wq[b][i],
+                                                  pclass(i / 4, i % 4), q);
+                            inv4x4(d, res);
+                            for (int r = 0; r < 4; ++r)
+                                for (int c = 0; c < 4; ++c)
+                                    ry[(y0 + by * 4 + r) * width
+                                       + x0 + bx * 4 + c] =
+                                        clip255(pred + res[4 * r + c]);
+                        }
                     }
                 }
                 // chroma reconstruction
@@ -708,6 +708,16 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
                     };
                     for (int b = 0; b < 4; ++b) {
                         int sx = (b & 1) * 4, sy = (b >> 1) * 4;
+                        // transmitted AC is cwq (zeroed when cbp < 2, so
+                        // the pre-zeroing mask only gates the cbp==2 case)
+                        if (dcd[b] == 0
+                            && (cbp_chroma < 2
+                                || !(cac_mask[comp] & (1u << b)))) {
+                            for (int r = 0; r < 4; ++r)
+                                memset(rec + (cy0 + sy + r) * cw + cx0 + sx,
+                                       uint8_t(cpred[comp][b]), 4);
+                            continue;
+                        }
                         int32_t d[16], res[16];
                         d[0] = dcd[b];
                         for (int i = 1; i < 16; ++i)
@@ -723,11 +733,93 @@ long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
             }
         }
         w.rbsp_trailing();
-        if (w.pos >= scratch_cap) goto done;
-        off = vptpu::emit_nal(out, out_cap, off, 3, 5, scratch, w.pos);
-        if (off < 0) goto done;
     }
-    rc = off;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one I420 frame as annex-B [SPS][PPS][IDR slice xN], all
+// Intra_16x16 DC-predicted with CAVLC residuals at the given QP (clamped
+// to [10, 29]). n_slices > 1 splits the picture into horizontal bands of
+// MB rows encoded in parallel threads (the loop filter is off and
+// prediction is slice-local, so decoder output still equals the
+// reconstruction bit-for-bit; the bitstream depends only on the slice
+// count, not on scheduling). recon_y/u/v (optional, may be NULL) receive
+// the spec-exact reconstruction. Returns bytes written or -1.
+long vptpu_h264_cavlc_encode_mt(const uint8_t* y, const uint8_t* u,
+                                const uint8_t* v, int width, int height,
+                                int qp, int idr_pic_id, int n_slices,
+                                uint8_t* scratch, long scratch_cap,
+                                uint8_t* out, long out_cap,
+                                uint8_t* recon_y, uint8_t* recon_u,
+                                uint8_t* recon_v) {
+    if (width % 16 || height % 16) return -1;
+    if (qp < 10) qp = 10;
+    if (qp > 29) qp = 29;
+    const int mbs_x = width / 16, mbs_y = height / 16;
+    const int cw = width / 2, ch = height / 2;
+    const QuantParams q = make_qp(qp);        // luma and (qp<30) chroma alike
+    if (n_slices < 1) n_slices = 1;
+    if (n_slices > mbs_y) n_slices = mbs_y;
+
+    // reconstruction planes + nnz maps live in heap scratch
+    uint8_t* ry = recon_y ? recon_y : (uint8_t*)malloc(size_t(width) * height);
+    uint8_t* ru = recon_u ? recon_u : (uint8_t*)malloc(size_t(cw) * ch);
+    uint8_t* rv = recon_v ? recon_v : (uint8_t*)malloc(size_t(cw) * ch);
+    int16_t* nnz_y = (int16_t*)calloc(size_t(mbs_x * 4) * (mbs_y * 4), 2);
+    int16_t* nnz_u = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    int16_t* nnz_v = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    long rc = -1;
+    long off = -1;
+    if (!ry || !ru || !rv || !nnz_y || !nnz_u || !nnz_v) goto done;
+
+    off = vptpu::emit_sps_pps(out, out_cap, 0, scratch, scratch_cap,
+                              mbs_x, mbs_y);
+    if (off < 0) goto done;
+
+    {
+        // worst-case CAVLC escape coding stays under ~1.4 KB/MB; 2 KB/MB
+        // of per-slice RBSP scratch leaves a wide margin (BitWriter drops
+        // bits at capacity rather than overrunning; the pos >= cap check
+        // below catches that case)
+        std::vector<long> caps(n_slices), my0s(n_slices), my1s(n_slices);
+        std::vector<uint8_t*> bufs(n_slices, nullptr);
+        std::vector<BitWriter> ws(n_slices);
+        bool alloc_ok = true;
+        for (int s = 0; s < n_slices; ++s) {
+            my0s[s] = long(mbs_y) * s / n_slices;
+            my1s[s] = long(mbs_y) * (s + 1) / n_slices;
+            caps[s] = (my1s[s] - my0s[s]) * long(mbs_x) * 2048 + 4096;
+            bufs[s] = (uint8_t*)malloc(size_t(caps[s]));
+            if (!bufs[s]) alloc_ok = false;
+        }
+        if (alloc_ok) {
+            auto run = [&](int s) {
+                ws[s] = BitWriter{bufs[s], caps[s]};
+                int m0 = int(my0s[s]), m1 = int(my1s[s]);
+                PlaneCtx py{ry, width, nnz_y, mbs_x * 4, m0 * 4};
+                PlaneCtx pu{ru, cw, nnz_u, mbs_x * 2, m0 * 2};
+                PlaneCtx pv{rv, cw, nnz_v, mbs_x * 2, m0 * 2};
+                encode_slice(y, u, v, width, cw, mbs_x, m0, m1, q, qp,
+                             idr_pic_id, py, pu, pv, ws[s]);
+            };
+            std::vector<std::thread> threads;
+            for (int s = 1; s < n_slices; ++s) threads.emplace_back(run, s);
+            run(0);
+            for (auto& t : threads) t.join();
+
+            long o = off;
+            for (int s = 0; s < n_slices && o >= 0; ++s) {
+                if (ws[s].pos >= caps[s]) { o = -1; break; }
+                o = vptpu::emit_nal(out, out_cap, o, 3, 5, bufs[s],
+                                    ws[s].pos);
+            }
+            if (o >= 0) rc = o;
+        }
+        for (int s = 0; s < n_slices; ++s) free(bufs[s]);
+    }
 
 done:
     if (!recon_y) free(ry);
@@ -735,6 +827,20 @@ done:
     if (!recon_v) free(rv);
     free(nnz_y); free(nnz_u); free(nnz_v);
     return rc;
+}
+
+// Single-slice form (original ABI).
+long vptpu_h264_cavlc_encode(const uint8_t* y, const uint8_t* u,
+                             const uint8_t* v, int width, int height,
+                             int qp, int idr_pic_id,
+                             uint8_t* scratch, long scratch_cap,
+                             uint8_t* out, long out_cap,
+                             uint8_t* recon_y, uint8_t* recon_u,
+                             uint8_t* recon_v) {
+    return vptpu_h264_cavlc_encode_mt(y, u, v, width, height, qp,
+                                      idr_pic_id, 1, scratch, scratch_cap,
+                                      out, out_cap, recon_y, recon_u,
+                                      recon_v);
 }
 
 }  // extern "C"

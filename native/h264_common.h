@@ -13,18 +13,23 @@ namespace vptpu {
 struct BitWriter {
     uint8_t* buf;
     long cap;
-    long pos = 0;     // byte position
-    int bit = 0;      // bits used in current byte (0..7)
+    long pos = 0;      // bytes fully written (saturates at cap on overflow)
+    int bit = 0;       // bits pending in acc (0..7)
+    uint32_t acc = 0;  // pending sub-byte bits, right-aligned
 
-    void put_bit(int b) {
-        if (pos >= cap) return;
-        if (bit == 0) buf[pos] = 0;
-        buf[pos] = uint8_t(buf[pos] | ((b & 1) << (7 - bit)));
-        if (++bit == 8) { bit = 0; ++pos; }
-    }
+    // n <= 32; whole bytes flush immediately so pos/bit stay accurate
     void put_bits(uint32_t v, int n) {
-        for (int i = n - 1; i >= 0; --i) put_bit((v >> i) & 1);
+        uint64_t a = (uint64_t(acc) << n)
+                   | (v & (n >= 32 ? 0xFFFFFFFFu : ((1u << n) - 1u)));
+        int nb = bit + n;
+        while (nb >= 8) {
+            nb -= 8;
+            if (pos < cap) buf[pos++] = uint8_t(a >> nb);
+        }
+        acc = uint32_t(a) & ((1u << nb) - 1u);
+        bit = nb;
     }
+    void put_bit(int b) { put_bits(uint32_t(b) & 1u, 1); }
     void put_ue(uint32_t v) {  // Exp-Golomb
         uint32_t x = v + 1;
         int n = 0;

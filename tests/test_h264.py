@@ -64,6 +64,42 @@ def test_native_encoder_lossless_decode(tmp_path):
     assert np.abs(got[:h].astype(int) - y.astype(int)).max() <= 2
 
 
+def test_cavlc_multislice_decode(tmp_path):
+    """Slice-parallel CAVLC: the 4-slice bitstream decodes to exactly the
+    encoder's reconstruction (decoder-output parity holds per slice), and
+    differs from the 1-slice decode only through slice-boundary prediction
+    (bounded, small)."""
+    from vision_processor_tpu.io.native import H264Encoder
+
+    try:
+        enc4 = H264Encoder(qp=24, n_slices=4)
+        enc1 = H264Encoder(qp=24, n_slices=1)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+
+    bgr = _test_image()
+    h, w = bgr.shape[:2]
+    i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+    y = i420[:h]
+    u = i420[h:h + h // 4].reshape(h // 2, w // 2)
+    v = i420[h + h // 4:].reshape(h // 2, w // 2)
+
+    data4, ry, ru, rv = enc4.encode_i420_recon(y, u, v)
+    p4 = tmp_path / "s4.h264"
+    p4.write_bytes(data4)
+    frames = _decode_annexb(p4)
+    assert len(frames) == 1
+    got = cv2.cvtColor(frames[0], cv2.COLOR_BGR2YUV_I420)
+    # recon parity through the decoder's YUV->BGR->YUV rounding (<=2, as
+    # in the lossless test) plus chroma upsample/downsample error on the
+    # roundtrip; luma is the tight channel
+    assert np.abs(got[:h].astype(int) - ry.astype(int)).max() <= 2
+
+    data1 = enc1.encode_i420(y, u, v)
+    assert data1 != data4  # more slices, different (slightly larger) stream
+    assert len(data4) < len(data1) * 1.05
+
+
 def test_rtp_stream_decodes(tmp_path):
     """Capture the streamer's real UDP output, reassemble per RFC 6184,
     decode, compare against what was offered."""

@@ -84,6 +84,16 @@ def load_native(build: bool = True):
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    # slice-parallel form (absent in stale prebuilt libraries)
+    if hasattr(lib, "vptpu_h264_cavlc_encode_mt"):
+        lib.vptpu_h264_cavlc_encode_mt.restype = ctypes.c_long
+        lib.vptpu_h264_cavlc_encode_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
 
     _lib = lib
     return lib
@@ -107,7 +117,7 @@ class H264Encoder:
     padded to multiples of 16.
     """
 
-    def __init__(self, qp: int | None = None):
+    def __init__(self, qp: int | None = None, n_slices: int | None = None):
         self._lib = load_native()
         if self._lib is None:
             raise RuntimeError("native library unavailable")
@@ -115,6 +125,30 @@ class H264Encoder:
         self._out = None
         self._idr = 0
         self.qp = qp
+        # slice-parallel CAVLC: one thread per horizontal slice band. The
+        # default leaves headroom for the per-camera host finishing threads
+        # (the encoder runs on the debug path, not the detection path).
+        if n_slices is None:
+            n_slices = max(1, min(8, (os.cpu_count() or 2) // 2))
+        self.n_slices = int(n_slices)
+
+    def _cavlc(self, y, u, v, w, h, ry=None, ru=None, rv=None):
+        args = (
+            y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h,
+            int(self.qp), self._idr,
+        )
+        tail = (
+            self._scratch.ctypes.data, self._scratch.size,
+            self._out.ctypes.data, self._out.size,
+            None if ry is None else ry.ctypes.data,
+            None if ru is None else ru.ctypes.data,
+            None if rv is None else rv.ctypes.data,
+        )
+        if self.n_slices > 1 and hasattr(self._lib, "vptpu_h264_cavlc_encode_mt"):
+            return self._lib.vptpu_h264_cavlc_encode_mt(
+                *args, self.n_slices, *tail
+            )
+        return self._lib.vptpu_h264_cavlc_encode(*args, *tail)
 
     def encode_i420(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
         h, w = y.shape
@@ -133,13 +167,7 @@ class H264Encoder:
                 self._out.ctypes.data, self._out.size,
             )
         else:
-            n = self._lib.vptpu_h264_cavlc_encode(
-                y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h,
-                int(self.qp), self._idr,
-                self._scratch.ctypes.data, self._scratch.size,
-                self._out.ctypes.data, self._out.size,
-                None, None, None,
-            )
+            n = self._cavlc(y, u, v, w, h)
         if n <= 0:
             raise RuntimeError(f"h264 encode failed ({n})")
         self._idr ^= 1
@@ -158,13 +186,7 @@ class H264Encoder:
         u = np.ascontiguousarray(u)
         v = np.ascontiguousarray(v)
         ry, ru, rv = np.zeros_like(y), np.zeros_like(u), np.zeros_like(v)
-        n = self._lib.vptpu_h264_cavlc_encode(
-            y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h,
-            int(self.qp), self._idr,
-            self._scratch.ctypes.data, self._scratch.size,
-            self._out.ctypes.data, self._out.size,
-            ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
-        )
+        n = self._cavlc(y, u, v, w, h, ry, ru, rv)
         if n <= 0:
             raise RuntimeError(f"h264 encode failed ({n})")
         self._idr ^= 1
