@@ -190,6 +190,10 @@ def warp_fits(model, field_scale, field_offset, out_shape, plane_shape,
     the full image shape for BGR (cf. BlobMachineConfig.plane_shape)."""
     hf, wf = out_shape
     h2, w2 = int(plane_shape[0]), int(plane_shape[1])
+    if h2 < WIN or w2 < WIN:
+        # _block_starts clips window starts to [0, n_src - WIN]; a source
+        # plane shorter than one window would invert that clip
+        return False
     no1, no2 = _pad_to(wf, BLK), _pad_to(hf, BLK)
     ys = np.minimum(np.arange(no2), hf - 1) * field_scale + field_offset[1]
     xs = np.minimum(np.arange(no1), wf - 1) * field_scale + field_offset[0]
