@@ -60,9 +60,15 @@ def main():
     col = jnp.asarray(colors[0])
     grid = bm.make_resample_grid(np.asarray(packed[0]), 150.0,
                                  field_scale=fs, field_offset=fo)
-    print(f"--- grid-cached production stages, max_blobs={bm.max_blobs} ---")
+    print(f"--- grid-cached production stages, max_blobs={bm.max_blobs}, "
+          f"resample_mode={bm.resample_mode} ---")
 
     def s_resample(raw):
+        if "pos1" in grid:
+            from vision_processor_tpu.ops import warp as W
+
+            return W.resample_flat_warp(raw, grid, bm.fmt, bm.flat_shape,
+                                        bm.plane_shape)
         return F.resample_flat_grid_raw(raw, grid, bm.fmt)
 
     def s_grad(raw):
@@ -117,39 +123,47 @@ def main_extract():
           f"disc_radius={bm.disc_radius} ---")
 
     def s_circ(raw):
-        flat = F.resample_flat_grid_raw(raw, grid, bm.fmt)
+        if "pos1" in grid:
+            from vision_processor_tpu.ops import warp as W
+
+            flat = W.resample_flat_warp(raw, grid, bm.fmt, bm.flat_shape,
+                                        bm.plane_shape)
+        else:
+            flat = F.resample_flat_grid_raw(raw, grid, bm.fmt)
         grad = B.gradient_dot(flat, bm.grad_offset)
         return flat, B.circularity(B.summed_area_table(grad), bm.sat_radius)
 
-    def s_disc(raw):
+    def s_mask(raw):
+        # production order: threshold + local-max on circ only
         flat, circ = s_circ(raw)
-        s1, s2, n = B.disc_stats_sat(flat, bm.disc_radius)
-        return s1, s2, circ
-
-    def s_score(raw):
-        flat, circ = s_circ(raw)
-        s1, s2, n = B.disc_stats_sat(flat, bm.disc_radius)
-        mean = s1 / n
-        var = jnp.maximum(s2 / n - mean * mean, 0.0)
-        stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
-        score = circ / jnp.maximum(stddev_sum, 1e-12)
-        valid = ((circ >= params["min_circularity"]) & B.local_max_mask(circ)
-                 & (score >= 0.0))
-        return jnp.where(valid, score, -jnp.inf), mean, circ
+        valid = (circ >= params["min_circularity"]) & B.local_max_mask(circ)
+        return jnp.where(valid, circ, -jnp.inf), flat
 
     def s_rowtopk(raw):
-        masked, mean, circ = s_score(raw)
+        masked, flat = s_mask(raw)
         m = min(masked.shape[1], max(16, -(-4 * bm.max_blobs // masked.shape[0])))
         return jax.lax.top_k(masked, m)
 
     def s_fulltopk(raw):
-        masked, mean, circ = s_score(raw)
+        masked, flat = s_mask(raw)
         h, w = masked.shape
         m = min(w, max(16, -(-4 * bm.max_blobs // h)))
         row_scores, row_idx = jax.lax.top_k(masked, m)
         cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
         top_scores, ci = jax.lax.top_k(row_scores.reshape(-1), bm.max_blobs)
         return top_scores, cand_idx[ci]
+
+    def s_discat(raw):
+        masked, flat = s_mask(raw)
+        h, w = masked.shape
+        m = min(w, max(16, -(-4 * bm.max_blobs // h)))
+        row_scores, row_idx = jax.lax.top_k(masked, m)
+        cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
+        top_scores, ci = jax.lax.top_k(row_scores.reshape(-1), bm.max_blobs)
+        idx = cand_idx[ci]
+        iy = idx // w
+        ix = idx % w
+        return B.disc_stats_at(flat, iy, ix, bm.disc_radius)[:2]
 
     def s_extract(raw):
         flat, circ = s_circ(raw)
@@ -158,11 +172,11 @@ def main_extract():
                                max_blobs=bm.max_blobs)
 
     timeit(s_circ, (raw,), "to circularity")
-    timeit(s_disc, (raw,), "+ disc_stats_sat")
-    timeit(s_score, (raw,), "+ mean/var/score/valid maps")
+    timeit(s_mask, (raw,), "+ threshold/local-max mask")
     timeit(s_rowtopk, (raw,), "+ row top_k")
     timeit(s_fulltopk, (raw,), "+ global top_k")
-    timeit(s_extract, (raw,), "+ slot gathers (full extract)")
+    timeit(s_discat, (raw,), "+ disc_stats_at (candidate gathers)")
+    timeit(s_extract, (raw,), "+ score/order/slot gathers (full extract)")
 
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "extract":

@@ -283,14 +283,6 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
         anchor_pos = blob_pos[:a]
         anchor_valid = blob_valid[:a]
 
-    diff = blob_pos[None, :, :] - anchor_pos[:, None, :]  # (A, k_all, 2)
-    dist2 = jnp.sum(diff * diff, axis=-1)
-    in_radius = (
-        (dist2 <= max_robot_radius * max_robot_radius)
-        & blob_valid[None, :]
-        & anchor_valid[:, None]
-    )
-
     # Highest-quality K in radius (the reference uses all in-radius
     # neighbours, reference src/main.cpp:63-75; K bounds the tensor shape).
     # Ring members are ranked by side-color plausibility — distance to the
@@ -299,6 +291,9 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     # blobs out of the ring in dense scenes; ties fall back to extraction
     # score order (blob slots arrive score-sorted). The anchor itself is a
     # candidate, mirroring rangeSearch returning the query blob.
+    # The radius test + rank top-K runs fused in a Pallas kernel on TPU
+    # (ops/topk.py query_select_topk) so the (A, k_all) score map never
+    # materializes; the fallback reproduces the masked iter_top_k exactly.
     blob_rank = jnp.arange(blob_pos.shape[0], dtype=jnp.float32)
     if blob_color is not None and colors is not None:
         green, pink = colors[4], colors[5]
@@ -309,17 +304,25 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
         rank = d_side + blob_rank * 1e-6
     else:
         rank = blob_rank
-    sel_score = jnp.where(in_radius, -rank[None, :], -jnp.inf)
-    sel_val, sel_idx = iter_top_k(sel_score, k)  # (A, K)
-    # validity from the selected VALUES: iter_top_k repeats index 0 on
-    # exhausted slots, so re-gathering in_radius would falsely validate
-    # padding whenever blob 0 is in range (inflating ring_count past the
-    # reference's >=4-blob anchor gate)
-    sel_valid = sel_val > -jnp.inf
+    from ..ops.topk import query_select_topk
 
-    sel_diff = jnp.take_along_axis(
-        diff, sel_idx[..., None], axis=1
-    )  # (A, K, 2)
+    sel_val, sel_idx = query_select_topk(
+        anchor_pos,
+        jnp.broadcast_to(max_robot_radius * max_robot_radius, (a,)),
+        blob_pos,
+        jnp.where(blob_valid, rank, jnp.inf),
+        m=k,
+        by_rank=True,
+    )  # (A, K)
+    # validity from the selected VALUES: exhausted slots repeat index 0
+    # (iter_top_k semantics), so re-gathering the radius mask would
+    # falsely validate padding whenever blob 0 is in range (inflating
+    # ring_count past the reference's >=4-blob anchor gate). Invalid
+    # anchors select real blobs here (the old code masked whole rows);
+    # masking sel_valid keeps every downstream consumer identical.
+    sel_valid = (sel_val > -jnp.inf) & anchor_valid[:, None]
+
+    sel_diff = blob_pos[sel_idx] - anchor_pos[:, None, :]  # (A, K, 2)
     angle = jnp.arctan2(sel_diff[..., 1], sel_diff[..., 0])
     order = jnp.argsort(jnp.where(sel_valid, angle, jnp.inf), axis=-1)
     ring_idx = jnp.take_along_axis(sel_idx, order, axis=1)
@@ -466,12 +469,20 @@ def tracked_hypotheses(
         c[:, None], s[:, None], jnp.asarray(PATTERN_POS)[None]
     )  # (T, 5, 2)
 
-    d2 = jnp.sum(
-        (blob_pos[None, None, :, :] - slot_pos[:, :, None, :]) ** 2, axis=-1
-    )  # (T, 5, k)
-    cand_ok = (d2 <= (search_radius**2)[:, None, None]) & blob_valid[None, None, :]
-    cand_score = jnp.where(cand_ok, -d2, -jnp.inf)
-    cand_val, cand_idx = iter_top_k(cand_score, m)  # (T, 5, M)
+    # nearest-M blobs per pattern slot; the (T*5, k) distance map fuses
+    # into the Pallas select on TPU (ops/topk.py), iter_top_k elsewhere
+    from ..ops.topk import query_select_topk
+
+    cand_val, cand_idx = query_select_topk(
+        slot_pos.reshape(t * 5, 2),
+        jnp.repeat(search_radius * search_radius, 5),
+        blob_pos,
+        jnp.where(blob_valid, 0.0, jnp.inf),
+        m=m,
+        by_rank=False,
+    )
+    cand_val = cand_val.reshape(t, 5, m)  # (T, 5, M)
+    cand_idx = cand_idx.reshape(t, 5, m)
     # value-derived validity (see iter_top_k: padding indices repeat 0)
     cand_valid = cand_val > -jnp.inf
 

@@ -261,8 +261,13 @@ def extract_blobs(
     # truncates arbitrarily past maxBlobs (kernel/blobList.cl:87-91
     # atomic-append order), so the bound is strictly stronger than the
     # reference's semantics for any scene the row cap does not clip.
+    # The row stage runs as a Pallas in-VMEM select on TPU (ops/topk.py,
+    # lax.top_k elsewhere/via VPTPU_PALLAS_TOPK=0); exhausted rows repeat
+    # index 0, so validity comes from the VALUES below, never the indices.
     m = min(w, max(16, -(-4 * max_blobs // h)))
-    row_scores, row_idx = jax.lax.top_k(masked, m)  # (h, m)
+    from .topk import row_topk
+
+    row_scores, row_idx = row_topk(masked, m)  # (h, m)
     cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
     top_circ, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
     idx = cand_idx[ci]
