@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.detector import TWO_PI, DetectorConfig, detect, estimate_bot_ids
+from ..models.detector import (
+    TWO_PI, DetectorConfig, detect, estimate_bot_ids,
+    finalize_detections_batched,
+)
 from ..ops.pipeline import BlobMachineConfig, blob_machine
 
 CAM_AXIS = "cam"
@@ -59,6 +62,16 @@ def params_for_cam(params: dict, c: int) -> dict:
     }
 
 
+def _shard_param(v, cam0, n_local: int):
+    """This shard's (n_local,) window of a possibly-per-camera tunable.
+
+    Replicated params carry GLOBAL (n_cams,) arrays; inside shard_map the
+    shard's cameras start at traced ``cam0``. Scalars pass through."""
+    if getattr(v, "ndim", 0) >= 1:
+        return jax.lax.dynamic_slice_in_dim(v, cam0, n_local)
+    return v
+
+
 @dataclass(frozen=True)
 class MultiCamConfig:
     bm: BlobMachineConfig
@@ -76,8 +89,18 @@ def _single_cam_step(
     tracked,
     params,
     rs_grid=None,
+    finalize: bool = True,
 ):
-    """One camera's frame -> (blob slots, detection summary)."""
+    """One camera's frame -> blob slots (+ detection summary).
+
+    ``finalize=False`` returns ``(blobs, det)`` with PRE-suppression
+    detections and no id estimate / summary — callers stacking several
+    cameras complete them with ``finalize_batched`` instead. The deferred
+    pieces (greedy clipping NMS, the 24-iteration guarded 2-means id
+    estimate) are sequences of tiny-tensor ops, so one vmapped pass over
+    the camera axis costs ~n_cams-fold fewer sequenced ops than per-camera
+    unrolled copies (measured 0.45 ms/4-cam frame-set for the ids alone).
+    """
     blobs = blob_machine(
         cfg.bm,
         raw,
@@ -88,7 +111,14 @@ def _single_cam_step(
         field_offset=field_offset,
         rs_grid=rs_grid,
     )
-    det = detect(cfg.det, blobs, tracked, colors7[:6], packed_cam, params)
+    det = detect(cfg.det, blobs, tracked, colors7[:6], packed_cam, params,
+                 with_nms=finalize)
+    out_blobs = {
+        k: blobs[k]
+        for k in ("field_pos", "color", "center", "circ", "score", "valid", "count")
+    }
+    if not finalize:
+        return out_blobs, det
     bot_id = estimate_bot_ids(det, blobs["color"], colors7)
     det["bot_id_est"] = bot_id
     summary = {
@@ -97,11 +127,27 @@ def _single_cam_step(
         "score": jnp.where(det["bot_valid"], det["bot_score"], 0.0),
         "id": jnp.where(det["bot_valid"], bot_id, -1),
     }
-    out_blobs = {
-        k: blobs[k]
-        for k in ("field_pos", "color", "center", "circ", "score", "valid", "count")
-    }
     return out_blobs, det, summary
+
+
+def finalize_batched(blobs, det, colors7, clipping_tolerance, ball_radius):
+    """Complete ``_single_cam_step(finalize=False)`` outputs over the
+    stacked camera axis: vmapped clipping NMS + ball-clip mask, batched id
+    estimate, and the detection summary. Returns (det, summary) with
+    results identical to the per-camera path."""
+    det = finalize_detections_batched(
+        det, blobs["field_pos"], blobs["valid"], clipping_tolerance,
+        ball_radius,
+    )
+    bot_id = jax.vmap(estimate_bot_ids)(det, blobs["color"], colors7)
+    det["bot_id_est"] = bot_id
+    summary = {
+        "pos": det["bot_pos"],
+        "orientation": det["bot_orientation"],
+        "score": jnp.where(det["bot_valid"], det["bot_score"], 0.0),
+        "id": jnp.where(det["bot_valid"], bot_id, -1),
+    }
+    return det, summary
 
 
 def tracked_from_summaries(det_cfg: DetectorConfig, summaries, time_delta,
@@ -274,11 +320,16 @@ def batched_step(cfg: MultiCamConfig):
                 params_for_cam(params, c),
                 rs_grid=None if rs_grids is None
                 else jax.tree.map(lambda x: x[c], rs_grids),
+                finalize=False,
             )
             for c in range(cfg.n_cams)
         ]
-        blobs, det, summary = (
+        blobs, det = (
             jax.tree.map(lambda *xs: jnp.stack(xs), *group) for group in zip(*outs)
+        )
+        det, summary = finalize_batched(
+            blobs, det, colors7, params["clipping_tolerance"],
+            params["ball_radius"],
         )
         if marks is None:
             return blobs, det, summary
@@ -317,11 +368,16 @@ def batched_step_host_tracked(cfg: MultiCamConfig):
                 params_for_cam(params, c),
                 rs_grid=None if rs_grids is None
                 else jax.tree.map(lambda x: x[c], rs_grids),
+                finalize=False,
             )
             for c in range(cfg.n_cams)
         ]
-        blobs, det, _ = (
+        blobs, det = (
             jax.tree.map(lambda *xs: jnp.stack(xs), *group) for group in zip(*outs)
+        )
+        det, _ = finalize_batched(
+            blobs, det, colors7, params["clipping_tolerance"],
+            params["ball_radius"],
         )
         if marks is None:
             return blobs, det
@@ -397,12 +453,18 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh, fused: bool = False):
                 tracked,
                 params_for_cam(params, cam0 + i),
                 rs_grid=None,  # single-shot call: projection stays in-line
+                finalize=False,
             )
             for i in range(n_local)
         ]
-        blobs, det, summary = (
+        blobs, det = (
             jax.tree.map(lambda *xs: jnp.stack(xs), *group)
             for group in zip(*outs)
+        )
+        det, summary = finalize_batched(
+            blobs, det, colors7, _shard_param(params["clipping_tolerance"],
+                                              cam0, n_local),
+            params["ball_radius"],
         )
         # ICI collective: share this shard's detections with the fleet
         gathered = jax.tree.map(
@@ -503,12 +565,18 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
                     field_offset[i], colors7[i], tracked,
                     params_for_cam(params, cam0 + i),
                     rs_grid=grids[i],
-                )[1:]
+                    finalize=False,
+                )
                 for i in range(n_local)
             ]
-            det, summary = (
+            blobs, det = (
                 jax.tree.map(lambda *xs: jnp.stack(xs), *group)
                 for group in zip(*outs)
+            )
+            det, summary = finalize_batched(
+                blobs, det, colors7,
+                _shard_param(params["clipping_tolerance"], cam0, n_local),
+                params["ball_radius"],
             )
             nxt = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, CAM_AXIS), summary
