@@ -337,3 +337,55 @@ def test_tracked_from_summaries_velocities():
     # without history: zero velocities
     tr0 = M.tracked_from_summaries(det, cur, 0.02)
     assert not np.asarray(tr0["vx"]).any()
+
+
+def test_sharded_fused_matches_batched(divb_field, rig2):
+    """sharded_step(fused=True) must produce the same finalized detections
+    and finisher outputs as the single-chip batched fused step — the
+    deferred NMS/id finalize and the per-shard param slicing are exercised
+    with a per-camera clipping_tolerance array."""
+    from vision_processor_tpu.models.colors import ColorState
+    from vision_processor_tpu.models.device_finish import pack_field_marks
+
+    cfg, raws, packed, scales, offsets, colors = rig2
+    p = params()
+    p.update({
+        "min_score": jnp.float32(0.0),
+        "min_cam_edge_distance": jnp.float32(170.0),
+        "reference_force": jnp.float32(0.1),
+        "history_force": jnp.float32(0.7),
+        "bot_heights_yb": jnp.asarray([145.0, 145.0], dtype=jnp.float32),
+        # per-camera tunable as an (N,) array -> exercises _shard_param
+        "clipping_tolerance": jnp.asarray([10.0, 12.0], dtype=jnp.float32),
+    })
+    refs = jnp.asarray(np.stack([ColorState().packed_refs()] * cfg.n_cams))
+    marks_one = pack_field_marks(divb_field.geometry.field, 10.0)
+    marks = {k: jnp.asarray(v) for k, v in marks_one.items()}
+    marks_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cfg.n_cams,) + x.shape), marks
+    )
+    prev = M.empty_summary(cfg)
+
+    bstep = M.batched_step(cfg)
+    b_blobs, b_det, b_sum, b_fin = bstep(
+        raws, packed, scales, offsets, colors, prev, p,
+        None, None, refs, marks_b,
+    )
+
+    mesh = M.make_camera_mesh(jax.devices()[: cfg.n_cams])
+    sstep = M.sharded_step(cfg, mesh, fused=True)
+    s_blobs, s_det, s_gather, s_fin = sstep(
+        raws, packed, scales, offsets, colors,
+        jax.tree.map(lambda x: x[None], prev), p, refs, marks,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(b_det["bot_valid"]), np.asarray(s_det["bot_valid"]))
+    np.testing.assert_array_equal(
+        np.asarray(b_det["bot_id_est"]), np.asarray(s_det["bot_id_est"]))
+    np.testing.assert_allclose(
+        np.asarray(b_fin["colors7"]), np.asarray(s_fin["colors7"]),
+        rtol=0, atol=0)
+    np.testing.assert_array_equal(
+        np.asarray(b_fin["bot_valid"]), np.asarray(s_fin["bot_valid"]))
+    assert np.asarray(s_det["bot_valid"]).reshape(cfg.n_cams, -1).sum() == 2

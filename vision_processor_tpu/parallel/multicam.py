@@ -473,16 +473,23 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh, fused: bool = False):
         if not fused:
             return blobs, det, gathered
         colors7_refs, marks = fin_args
-        from ..models.device_finish import finish_on_device
+        from ..models.device_finish import (
+            finish_on_device_batched, stack_finish_params,
+        )
 
-        fins = [
-            finish_on_device(
-                outs[i][0], outs[i][1], colors7[i], colors7_refs[i],
-                packed_cam[i], marks, params_for_cam(params, cam0 + i),
-            )
-            for i in range(n_local)
-        ]
-        fin = jax.tree.map(lambda *xs: jnp.stack(xs), *fins)
+        # finisher params: slice global per-camera tunables to this shard
+        fparams = {
+            k: _shard_param(v, cam0, n_local)
+            if k in _PER_CAMERA_PARAM_KEYS else v
+            for k, v in params.items()
+        }
+        marks_l = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_local,) + x.shape), marks
+        )
+        fin = finish_on_device_batched(
+            blobs, det, colors7, colors7_refs, packed_cam, marks_l,
+            stack_finish_params(fparams, n_local),
+        )
         return blobs, det, gathered, fin
 
     spec_cam = P(CAM_AXIS)
