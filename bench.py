@@ -489,10 +489,11 @@ def main(resample_mode: str = "warp"):
           file=sys.stderr, flush=True)
     rig = build_rig(resampling_factor=FACTOR, resample_mode=resample_mode)
     rig_f1 = build_rig(resampling_factor=1.0, resample_mode=resample_mode)
-    # high-occupancy variant (VERDICT r2 item 5): ~1500 real rendered
-    # ball-sized blobs per camera — fills most of the 2000-slot budget and
-    # makes the 512-anchor cap actually bind on device
-    rig_dense = build_rig(dense=True, dense_blobs=1500,
+    # high-occupancy variant (VERDICT r2 item 5): ~1500+ real rendered
+    # ball-sized blobs per camera (1900 requested; close placements merge
+    # in the render) — fills most of the 2000-slot budget and makes the
+    # 512-anchor cap actually bind on device
+    rig_dense = build_rig(dense=True, dense_blobs=1900,
                           resampling_factor=FACTOR, return_scenes=True,
                           resample_mode=resample_mode)
     cfg, raws, packed, scales, offsets, colors, params, geometry, cams = rig

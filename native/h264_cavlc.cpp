@@ -173,8 +173,56 @@ static const Vlc kRunBefore[7][15] = {
 // transforms (spec-exact reconstruction path)
 // ---------------------------------------------------------------------------
 
+// The 4x4 transforms below have vectorized bodies (GCC vector extensions,
+// one int32x4 register per matrix row; each pass is transpose + vertical
+// butterfly). All arithmetic is int32 add/sub/shift — bit-identical to the
+// scalar forms, which remain as the portable fallback.
+#if defined(__GNUC__) && defined(__SSE2__)
+#define VPTPU_VEC 1
+typedef int32_t v4si __attribute__((vector_size(16)));
+
+static inline void vload4(const int32_t in[16], v4si r[4]) {
+    __builtin_memcpy(&r[0], in + 0, 16);
+    __builtin_memcpy(&r[1], in + 4, 16);
+    __builtin_memcpy(&r[2], in + 8, 16);
+    __builtin_memcpy(&r[3], in + 12, 16);
+}
+
+static inline void vstore4(int32_t out[16], const v4si r[4]) {
+    __builtin_memcpy(out + 0, &r[0], 16);
+    __builtin_memcpy(out + 4, &r[1], 16);
+    __builtin_memcpy(out + 8, &r[2], 16);
+    __builtin_memcpy(out + 12, &r[3], 16);
+}
+
+static inline void vtranspose4(v4si& a, v4si& b, v4si& c, v4si& d) {
+    v4si t0 = __builtin_shufflevector(a, b, 0, 4, 1, 5);
+    v4si t1 = __builtin_shufflevector(a, b, 2, 6, 3, 7);
+    v4si t2 = __builtin_shufflevector(c, d, 0, 4, 1, 5);
+    v4si t3 = __builtin_shufflevector(c, d, 2, 6, 3, 7);
+    a = __builtin_shufflevector(t0, t2, 0, 1, 4, 5);
+    b = __builtin_shufflevector(t0, t2, 2, 3, 6, 7);
+    c = __builtin_shufflevector(t1, t3, 0, 1, 4, 5);
+    d = __builtin_shufflevector(t1, t3, 2, 3, 6, 7);
+}
+#endif
+
 // forward 4x4 core transform: W = Cf * X * Cf^T
 static void fwd4x4(const int32_t in[16], int32_t out[16]) {
+#ifdef VPTPU_VEC
+    v4si x[4];
+    vload4(in, x);
+    for (int pass = 0; pass < 2; ++pass) {
+        vtranspose4(x[0], x[1], x[2], x[3]);  // lanes become the 4 groups
+        v4si s03 = x[0] + x[3], d03 = x[0] - x[3];
+        v4si s12 = x[1] + x[2], d12 = x[1] - x[2];
+        x[0] = s03 + s12;
+        x[1] = (d03 + d03) + d12;
+        x[2] = s03 - s12;
+        x[3] = d03 - (d12 + d12);
+    }
+    vstore4(out, x);
+#else
     int32_t tmp[16];
     for (int r = 0; r < 4; ++r) {
         const int32_t* x = in + 4 * r;
@@ -194,11 +242,29 @@ static void fwd4x4(const int32_t in[16], int32_t out[16]) {
         out[8 + c] = s03 - s12;
         out[12 + c] = d03 - 2 * d12;
     }
+#endif
 }
 
 // inverse 4x4 core transform (8.5.12.3), input = dequantized d, output
 // residual r with the final (x + 32) >> 6
 static void inv4x4(const int32_t d[16], int32_t r[16]) {
+#ifdef VPTPU_VEC
+    v4si x[4];
+    vload4(d, x);
+    for (int pass = 0; pass < 2; ++pass) {
+        vtranspose4(x[0], x[1], x[2], x[3]);
+        v4si e0 = x[0] + x[2];
+        v4si e1 = x[0] - x[2];
+        v4si e2 = (x[1] >> 1) - x[3];
+        v4si e3 = x[1] + (x[3] >> 1);
+        x[0] = e0 + e3;
+        x[1] = e1 + e2;
+        x[2] = e1 - e2;
+        x[3] = e0 - e3;
+    }
+    for (int i = 0; i < 4; ++i) x[i] = (x[i] + 32) >> 6;
+    vstore4(r, x);
+#else
     int32_t tmp[16];
     for (int i = 0; i < 4; ++i) {
         const int32_t* x = d + 4 * i;
@@ -222,10 +288,25 @@ static void inv4x4(const int32_t d[16], int32_t r[16]) {
         r[8 + c] = (e1 - e2 + 32) >> 6;
         r[12 + c] = (e0 - e3 + 32) >> 6;
     }
+#endif
 }
 
 // 4x4 Hadamard (both directions identical up to scaling choices)
 static void hadamard4x4(const int32_t in[16], int32_t out[16]) {
+#ifdef VPTPU_VEC
+    v4si x[4];
+    vload4(in, x);
+    for (int pass = 0; pass < 2; ++pass) {
+        vtranspose4(x[0], x[1], x[2], x[3]);
+        v4si s03 = x[0] + x[3], d03 = x[0] - x[3];
+        v4si s12 = x[1] + x[2], d12 = x[1] - x[2];
+        x[0] = s03 + s12;
+        x[1] = d03 + d12;
+        x[2] = s03 - s12;
+        x[3] = d03 - d12;
+    }
+    vstore4(out, x);
+#else
     int32_t tmp[16];
     for (int r = 0; r < 4; ++r) {
         const int32_t* x = in + 4 * r;
@@ -245,6 +326,7 @@ static void hadamard4x4(const int32_t in[16], int32_t out[16]) {
         out[8 + c] = s03 - s12;
         out[12 + c] = d03 - d12;
     }
+#endif
 }
 
 static inline uint8_t clip255(int32_t v) {
@@ -393,6 +475,8 @@ static int pred_nc(const PlaneCtx& p, int bx, int by) {
 struct QuantParams {
     int qp, qbits, mod;
     int32_t f_intra;   // rounding offset
+    int32_t mfpos[16]; // kMF by raster position (quant)
+    int32_t lspos[16]; // 16 * kV by raster position (dequant levelScale)
 };
 
 static QuantParams make_qp(int qp) {
@@ -401,6 +485,11 @@ static QuantParams make_qp(int qp) {
     q.qbits = 15 + qp / 6;
     q.mod = qp % 6;
     q.f_intra = (1 << q.qbits) / 3;
+    for (int i = 0; i < 16; ++i) {
+        int cls = pclass(i / 4, i % 4);
+        q.mfpos[i] = kMF[q.mod][cls];
+        q.lspos[i] = 16 * kV[q.mod][cls];
+    }
     return q;
 }
 
@@ -419,6 +508,91 @@ static inline int32_t dequant_ac(int32_t c, int cls, const QuantParams& q) {
     if (q.qp >= 24) return (c * ls) << (q.qp / 6 - 4);
     int sh = 4 - q.qp / 6;
     return (c * ls + (1 << (sh - 1))) >> sh;
+}
+
+// Quantize the 15 AC coefficients of a transformed block (raster order,
+// slot 0 forced to 0). Returns true if any level is nonzero. Bit-identical
+// to quant_coeff(tr[i], pclass, q, 0) per element.
+static inline bool quant_block_ac(const int32_t tr[16], const QuantParams& q,
+                                  int32_t wq[16]) {
+#ifdef VPTPU_VEC
+    v4si x[4], mf[4], acc{};
+    vload4(tr, x);
+    vload4(q.mfpos, mf);
+    const v4si f = {q.f_intra, q.f_intra, q.f_intra, q.f_intra};
+    for (int g = 0; g < 4; ++g) {
+        v4si sign = x[g] >> 31;
+        v4si ax = (x[g] ^ sign) - sign;
+        v4si lv = (ax * mf[g] + f) >> q.qbits;
+        lv = (lv ^ sign) - sign;
+        if (g == 0) lv &= (v4si){0, -1, -1, -1};  // DC slot stays 0
+        x[g] = lv;
+        acc |= lv;
+    }
+    vstore4(wq, x);
+    return (acc[0] | acc[1] | acc[2] | acc[3]) != 0;
+#else
+    bool any = false;
+    wq[0] = 0;
+    for (int i = 1; i < 16; ++i) {
+        wq[i] = quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
+        any |= wq[i] != 0;
+    }
+    return any;
+#endif
+}
+
+// Quantize n4*4 DC-class coefficients (Hadamard outputs) with the DC
+// extra_shift: lv = (|x| * MF0 + (f << es)) >> (qbits + es), sign restored.
+static inline void quant_dc_n(const int32_t* in, int n4, const QuantParams& q,
+                              int es, int32_t* out) {
+#ifdef VPTPU_VEC
+    const int32_t mf0 = kMF[q.mod][0];
+    const v4si mf = {mf0, mf0, mf0, mf0};
+    const int32_t fi = q.f_intra << es;
+    const v4si f = {fi, fi, fi, fi};
+    for (int g = 0; g < n4; ++g) {
+        v4si x;
+        __builtin_memcpy(&x, in + 4 * g, 16);
+        v4si sign = x >> 31;
+        v4si ax = (x ^ sign) - sign;
+        v4si lv = (ax * mf + f) >> (q.qbits + es);
+        lv = (lv ^ sign) - sign;
+        __builtin_memcpy(out + 4 * g, &lv, 16);
+    }
+#else
+    for (int i = 0; i < 4 * n4; ++i) {
+        int32_t lv = (std::abs(in[i]) * kMF[q.mod][0]
+                      + (q.f_intra << es)) >> (q.qbits + es);
+        out[i] = in[i] < 0 ? -lv : lv;
+    }
+#endif
+}
+
+// Dequantize a block's 15 AC coefficients into d[1..15] (d[0] untouched).
+// Bit-identical to dequant_ac per element.
+static inline void dequant_block_ac(const int32_t wq[16], const QuantParams& q,
+                                    int32_t d[16]) {
+#ifdef VPTPU_VEC
+    int32_t d0 = d[0];
+    v4si x[4], ls[4];
+    vload4(wq, x);
+    vload4(q.lspos, ls);
+    if (q.qp >= 24) {
+        const int sh = q.qp / 6 - 4;
+        for (int g = 0; g < 4; ++g) x[g] = (x[g] * ls[g]) << sh;
+    } else {
+        const int sh = 4 - q.qp / 6;
+        const int32_t rnd = 1 << (sh - 1);
+        const v4si r = {rnd, rnd, rnd, rnd};
+        for (int g = 0; g < 4; ++g) x[g] = (x[g] * ls[g] + r) >> sh;
+    }
+    vstore4(d, x);
+    d[0] = d0;
+#else
+    for (int i = 1; i < 16; ++i)
+        d[i] = dequant_ac(wq[i], pclass(i / 4, i % 4), q);
+#endif
 }
 
 // One slice: MB rows [my0, my1). Intra prediction and nC contexts stop at
@@ -477,33 +651,39 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                 for (int b = 0; b < 16; ++b) {
                     int bx = kBlkX[b], by = kBlkY[b];
                     int32_t blk[16], tr[16];
+                    int32_t orr = 0;
                     for (int r = 0; r < 4; ++r)
-                        for (int c = 0; c < 4; ++c)
-                            blk[4 * r + c] =
+                        for (int c = 0; c < 4; ++c) {
+                            int32_t v =
                                 int32_t(y[(y0 + by * 4 + r) * width + x0 + bx * 4 + c])
                                 - pred;
+                            blk[4 * r + c] = v;
+                            orr |= v;
+                        }
+                    if (!orr) {
+                        // flat block at exactly the prediction: transform
+                        // and quant are all-zero by linearity
+                        dc_raw[by * 4 + bx] = 0;
+                        memset(wq[b], 0, sizeof(wq[b]));
+                        continue;
+                    }
                     fwd4x4(blk, tr);
                     dc_raw[by * 4 + bx] = tr[0];
-                    for (int i = 1; i < 16; ++i) {
-                        wq[b][i] = quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
-                        if (wq[b][i]) { any_ac = true; ac_mask |= 1u << b; }
+                    if (quant_block_ac(tr, q, wq[b])) {
+                        any_ac = true;
+                        ac_mask |= 1u << b;
                     }
-                    wq[b][0] = 0;
                 }
-                // DC Hadamard + quant (raster order), store back per block
+                // DC Hadamard + quant (raster order), store back per block.
+                // Effective >> (qbits + 2): the DC dequant path (8.5.10:
+                // (f * 16*V00) >> (6 - qp/6), then the core inverse's
+                // >> 6) has 4x less gain than the AC path, so levels
+                // carry 4x the precision. |hd| <= 4*255*36 -> product
+                // < 2^29.1: int32 ok.
                 {
                     int32_t hd[16], hq[16];
                     hadamard4x4(dc_raw, hd);
-                    for (int i = 0; i < 16; ++i) {
-                        // effective >> (qbits + 2): the DC dequant path
-                        // (8.5.10: (f * 16*V00) >> (6 - qp/6), then the
-                        // core inverse's >> 6) has 4x less gain than the
-                        // AC path, so levels carry 4x the precision
-                        // |hd| <= 4*255*36 -> product < 2^29.1: int32 ok
-                        int32_t lv = (std::abs(hd[i]) * kMF[q.mod][0]
-                                      + 4 * q.f_intra) >> (q.qbits + 2);
-                        hq[i] = hd[i] < 0 ? -lv : lv;
-                    }
+                    quant_dc_n(hd, 4, q, 2, hq);
                     for (int b = 0; b < 16; ++b)
                         dcq[b] = hq[kBlkY[b] * 4 + kBlkX[b]];
                 }
@@ -551,22 +731,26 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                     for (int b = 0; b < 4; ++b) {
                         int sx = (b & 1) * 4, sy = (b >> 1) * 4;
                         int32_t blk[16], tr[16];
+                        int32_t orr = 0;
                         for (int r = 0; r < 4; ++r)
-                            for (int c = 0; c < 4; ++c)
-                                blk[4 * r + c] =
+                            for (int c = 0; c < 4; ++c) {
+                                int32_t v =
                                     int32_t(src[(cy0 + sy + r) * cw + cx0 + sx + c])
                                     - cpred[comp][b];
+                                blk[4 * r + c] = v;
+                                orr |= v;
+                            }
+                        if (!orr) {
+                            cdc_raw[b] = 0;
+                            memset(cwq[comp][b], 0, sizeof(cwq[comp][b]));
+                            continue;
+                        }
                         fwd4x4(blk, tr);
                         cdc_raw[b] = tr[0];
-                        for (int i = 1; i < 16; ++i) {
-                            cwq[comp][b][i] =
-                                quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
-                            if (cwq[comp][b][i]) {
-                                c_any_ac = true;
-                                cac_mask[comp] |= 1u << b;
-                            }
+                        if (quant_block_ac(tr, q, cwq[comp][b])) {
+                            c_any_ac = true;
+                            cac_mask[comp] |= 1u << b;
                         }
-                        cwq[comp][b][0] = 0;
                     }
                     // 2x2 DC Hadamard: [[1,1],[1,-1]] both sides
                     int32_t h0 = cdc_raw[0] + cdc_raw[1] + cdc_raw[2] + cdc_raw[3];
@@ -676,9 +860,7 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                             }
                             int32_t d[16], res[16];
                             d[0] = dcd[by * 4 + bx];
-                            for (int i = 1; i < 16; ++i)
-                                d[i] = dequant_ac(wq[b][i],
-                                                  pclass(i / 4, i % 4), q);
+                            dequant_block_ac(wq[b], q, d);
                             inv4x4(d, res);
                             for (int r = 0; r < 4; ++r)
                                 for (int c = 0; c < 4; ++c)
@@ -720,9 +902,7 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                         }
                         int32_t d[16], res[16];
                         d[0] = dcd[b];
-                        for (int i = 1; i < 16; ++i)
-                            d[i] = dequant_ac(cwq[comp][b][i],
-                                              pclass(i / 4, i % 4), q);
+                        dequant_block_ac(cwq[comp][b], q, d);
                         inv4x4(d, res);
                         for (int r = 0; r < 4; ++r)
                             for (int c = 0; c < 4; ++c)
