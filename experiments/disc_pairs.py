@@ -11,6 +11,12 @@ Counter-signal: the round-2 resampling experiments saw NO gain from
 measures whether small-row gathers behave differently.
 
 Run: python experiments/disc_pairs.py
+
+MEASURED (TPU v5e via relay, K=2000): r=3 per-tap 0.26 ms vs pair-packed
+0.94 ms; r=4 per-tap 0.54 vs 1.50. NEGATIVE RESULT by 3.5x — wider
+(24-byte, 6-channel) gather rows cost far more than the halved index
+count saves, consistent with round 2's "8-px-packed rows: no gain". The
+12-byte per-tap row is the sweet spot; disc_stats_at stays as is.
 """
 from __future__ import annotations
 
