@@ -569,6 +569,36 @@ static inline void quant_dc_n(const int32_t* in, int n4, const QuantParams& q,
 #endif
 }
 
+// Quantize all 16 coefficients of a transformed block (raster order, the
+// Intra_4x4 LumaLevel4x4 case — no separate DC transform). Returns true
+// if any level is nonzero.
+static inline bool quant_block_full(const int32_t tr[16], const QuantParams& q,
+                                    int32_t wq[16]) {
+#ifdef VPTPU_VEC
+    v4si x[4], mf[4], acc{};
+    vload4(tr, x);
+    vload4(q.mfpos, mf);
+    const v4si f = {q.f_intra, q.f_intra, q.f_intra, q.f_intra};
+    for (int g = 0; g < 4; ++g) {
+        v4si sign = x[g] >> 31;
+        v4si ax = (x[g] ^ sign) - sign;
+        v4si lv = (ax * mf[g] + f) >> q.qbits;
+        lv = (lv ^ sign) - sign;
+        x[g] = lv;
+        acc |= lv;
+    }
+    vstore4(wq, x);
+    return (acc[0] | acc[1] | acc[2] | acc[3]) != 0;
+#else
+    bool any = false;
+    for (int i = 0; i < 16; ++i) {
+        wq[i] = quant_coeff(tr[i], pclass(i / 4, i % 4), q, 0);
+        any |= wq[i] != 0;
+    }
+    return any;
+#endif
+}
+
 // Dequantize a block's 15 AC coefficients into d[1..15] (d[0] untouched).
 // Bit-identical to dequant_ac per element.
 static inline void dequant_block_ac(const int32_t wq[16], const QuantParams& q,
@@ -595,6 +625,286 @@ static inline void dequant_block_ac(const int32_t wq[16], const QuantParams& q,
 #endif
 }
 
+// luma 4x4 block order inside a MB (6.4.3): 8x8 quadrant z-order, then
+// 4x4 z-order within
+static const int kBlkX[16] = {0, 1, 0, 1, 2, 3, 2, 3,
+                              0, 1, 0, 1, 2, 3, 2, 3};
+static const int kBlkY[16] = {0, 0, 1, 1, 0, 0, 1, 1,
+                              2, 2, 3, 3, 2, 2, 3, 3};
+
+// ---------------------------------------------------------------------------
+// Intra_4x4 luma prediction (8.3.1.2) + per-MB candidate encoding
+// ---------------------------------------------------------------------------
+
+// Build the 4x4 prediction for ``mode`` from neighbor samples.
+// top[0..7] must carry the top-right substitution already (p[4..7,-1]
+// replaced by p[3,-1] when unavailable, 8.3.1.2 sample substitution);
+// tl = p[-1,-1], left[0..3] = p[-1,0..3]. Caller guarantees the mode's
+// required neighbors are available.
+static void i4_predict(int mode, const uint8_t top[8], uint8_t tl,
+                       const uint8_t left[4], bool at, bool al,
+                       uint8_t pred[16]) {
+    auto T = [&](int i) -> int32_t { return i < 0 ? tl : top[i]; };
+    auto L = [&](int i) -> int32_t { return i < 0 ? tl : left[i]; };
+    switch (mode) {
+        case 0:  // Vertical
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x) pred[4 * y + x] = top[x];
+            break;
+        case 1:  // Horizontal
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x) pred[4 * y + x] = left[y];
+            break;
+        case 2: {  // DC
+            int32_t s = 0, n = 0;
+            if (at) { s += top[0] + top[1] + top[2] + top[3]; n += 4; }
+            if (al) { s += left[0] + left[1] + left[2] + left[3]; n += 4; }
+            uint8_t dc = uint8_t(n == 8 ? (s + 4) >> 3
+                                : n == 4 ? (s + 2) >> 2 : 128);
+            memset(pred, dc, 16);
+            break;
+        }
+        case 3:  // Diagonal_Down_Left
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x)
+                    pred[4 * y + x] = uint8_t(
+                        (x == 3 && y == 3)
+                            ? (top[6] + 3 * top[7] + 2) >> 2
+                            : (top[x + y] + 2 * top[x + y + 1]
+                               + top[x + y + 2] + 2) >> 2);
+            break;
+        case 4:  // Diagonal_Down_Right
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x)
+                    pred[4 * y + x] = uint8_t(
+                        x > y ? (T(x - y - 2) + 2 * T(x - y - 1) + T(x - y) + 2) >> 2
+                      : x < y ? (L(y - x - 2) + 2 * L(y - x - 1) + L(y - x) + 2) >> 2
+                              : (top[0] + 2 * tl + left[0] + 2) >> 2);
+            break;
+        case 5:  // Vertical_Right
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x) {
+                    int z = 2 * x - y;
+                    int32_t v;
+                    if (z >= 0 && (z & 1) == 0)
+                        v = (T(x - (y >> 1) - 1) + T(x - (y >> 1)) + 1) >> 1;
+                    else if (z >= 0)
+                        v = (T(x - (y >> 1) - 2) + 2 * T(x - (y >> 1) - 1)
+                             + T(x - (y >> 1)) + 2) >> 2;
+                    else if (z == -1)
+                        v = (left[0] + 2 * tl + top[0] + 2) >> 2;
+                    else
+                        v = (L(y - 1) + 2 * L(y - 2) + L(y - 3) + 2) >> 2;
+                    pred[4 * y + x] = uint8_t(v);
+                }
+            break;
+        case 6:  // Horizontal_Down
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x) {
+                    int z = 2 * y - x;
+                    int32_t v;
+                    if (z >= 0 && (z & 1) == 0)
+                        v = (L(y - (x >> 1) - 1) + L(y - (x >> 1)) + 1) >> 1;
+                    else if (z >= 0)
+                        v = (L(y - (x >> 1) - 2) + 2 * L(y - (x >> 1) - 1)
+                             + L(y - (x >> 1)) + 2) >> 2;
+                    else if (z == -1)
+                        v = (left[0] + 2 * tl + top[0] + 2) >> 2;
+                    else
+                        v = (T(x - 1) + 2 * T(x - 2) + T(x - 3) + 2) >> 2;
+                    pred[4 * y + x] = uint8_t(v);
+                }
+            break;
+        case 7:  // Vertical_Left
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x)
+                    pred[4 * y + x] = uint8_t(
+                        (y & 1) == 0
+                            ? (top[x + (y >> 1)] + top[x + (y >> 1) + 1] + 1) >> 1
+                            : (top[x + (y >> 1)] + 2 * top[x + (y >> 1) + 1]
+                               + top[x + (y >> 1) + 2] + 2) >> 2);
+            break;
+        default:  // 8: Horizontal_Up
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x) {
+                    int z = x + 2 * y;
+                    int32_t v;
+                    if (z > 5) v = left[3];
+                    else if (z == 5) v = (left[2] + 3 * left[3] + 2) >> 2;
+                    else if (z & 1)
+                        v = (left[y + (x >> 1)] + 2 * left[y + (x >> 1) + 1]
+                             + left[y + (x >> 1) + 2] + 2) >> 2;
+                    else
+                        v = (left[y + (x >> 1)] + left[y + (x >> 1) + 1] + 1) >> 1;
+                    pred[4 * y + x] = uint8_t(v);
+                }
+            break;
+    }
+}
+
+// z coding order index per raster (by, bx) position inside a MB (6.4.3)
+static const int8_t kZofYX[4][4] = {
+    {0, 1, 4, 5}, {2, 3, 6, 7}, {8, 9, 12, 13}, {10, 11, 14, 15},
+};
+
+struct I4MB {
+    uint8_t recon[256];   // 16x16 row-major reconstruction
+    int32_t wq[16][16];   // per z-block quantized coefficients (raster)
+    int8_t mode[16];      // per z-block chosen prediction mode
+    int8_t predm[16];     // per z-block predicted mode (for bit cost)
+    int32_t sad;          // sum over blocks of best-mode prediction SAD
+    int32_t mode_bits;    // 1 per predicted-mode hit, 4 otherwise
+    bool any;             // any nonzero quantized coefficient
+};
+
+// Candidate-encode one MB as Intra_4x4 into local buffers (no bitstream,
+// no global state). Block-sequential: each block predicts from the local
+// reconstruction of earlier blocks, exactly like the decoder will.
+// imodes: global per-4x4 mode map (-1 on non-Intra_4x4 MBs) for the
+// mode-prediction context across MB boundaries; blk_y0 is the slice's
+// first block row (top availability stops at the slice boundary).
+static void try_i4_mb(const uint8_t* src, int width, const uint8_t* rec,
+                      int x0, int y0, int slice_top_row,
+                      const int8_t* imodes, int blk_w, int blk_y0,
+                      const QuantParams& q, uint32_t mode_mask, int lam,
+                      I4MB* o) {
+    o->sad = 0;
+    o->mode_bits = 0;
+    o->any = false;
+    const int mbx = x0 / 16, mby = y0 / 16;
+    for (int z = 0; z < 16; ++z) {
+        const int bx = kBlkX[z], by = kBlkY[z];
+        const int X0 = x0 + bx * 4, Y0 = y0 + by * 4;
+        const bool at = (by > 0) || (Y0 > slice_top_row);
+        const bool al = X0 > 0;
+        const bool atl = at && al;
+
+        // neighbor samples: local recon inside the MB, the committed
+        // plane outside (left MB columns / previous MB row)
+        uint8_t top[8], left[4], tl = 128;
+        if (at) {
+            const uint8_t* trow = (by > 0)
+                ? o->recon + (by * 4 - 1) * 16 + bx * 4
+                : rec + (Y0 - 1) * width + X0;
+            for (int i = 0; i < 4; ++i) top[i] = trow[i];
+            bool atr;
+            if (by == 0) {
+                atr = X0 + 7 < width;
+                if (atr)
+                    for (int i = 4; i < 8; ++i) top[i] = trow[i];
+            } else {
+                atr = bx < 3 && kZofYX[by - 1][bx + 1] < z;
+                if (atr) {
+                    const uint8_t* r2 = o->recon + (by * 4 - 1) * 16
+                                        + (bx + 1) * 4;
+                    for (int i = 0; i < 4; ++i) top[4 + i] = r2[i];
+                }
+            }
+            if (!atr)
+                for (int i = 4; i < 8; ++i) top[i] = top[3];
+        }
+        if (al) {
+            for (int i = 0; i < 4; ++i)
+                left[i] = (bx > 0)
+                    ? o->recon[(by * 4 + i) * 16 + bx * 4 - 1]
+                    : rec[(Y0 + i) * width + X0 - 1];
+        }
+        if (atl)
+            tl = (bx > 0 && by > 0)
+                ? o->recon[(by * 4 - 1) * 16 + bx * 4 - 1]
+                : rec[(Y0 - 1) * width + X0 - 1];
+
+        // predicted mode (8.3.1.1): if EITHER neighbor block is
+        // unavailable the prediction is DC for both sides
+        // (dcPredModePredictedFlag); otherwise min(modeA, modeB), with a
+        // neighbor not coded as Intra_4x4 contributing DC
+        const int gbx = mbx * 4 + bx, gby = mby * 4 + by;
+        int predm = 2;
+        if (al && gby > blk_y0) {
+            int8_t a = (bx > 0) ? o->mode[kZofYX[by][bx - 1]]
+                                : imodes[gby * blk_w + gbx - 1];
+            int8_t b = (by > 0) ? o->mode[kZofYX[by - 1][bx]]
+                                : imodes[(gby - 1) * blk_w + gbx];
+            int ma = a >= 0 ? a : 2, mb = b >= 0 ? b : 2;
+            predm = ma < mb ? ma : mb;
+        }
+        o->predm[z] = int8_t(predm);
+
+        const uint8_t* s = src + Y0 * width + X0;
+        uint8_t pred[16], best_pred[16];
+        int best_mode = -1;
+        int32_t best_cost = INT32_MAX, best_sad = 0;
+        // cheap modes first (predicted, DC, V, H): a near-perfect early
+        // hit skips the diagonal mode evaluations
+        int order[10], nord = 0, ncheap;
+        order[nord++] = predm;
+        if (predm != 2) order[nord++] = 2;
+        if (predm != 0) order[nord++] = 0;
+        if (predm != 1) order[nord++] = 1;
+        ncheap = nord;
+        for (int m = 3; m < 9; ++m)
+            if (m != predm) order[nord++] = m;
+        for (int mi = 0; mi < nord; ++mi) {
+            const int m = order[mi];
+            if (mi >= ncheap && best_sad <= lam * 6) break;  // early exit
+            if (!(mode_mask & (1u << m))) continue;
+            bool ok = (m == 2)
+                || (m == 1 || m == 8 ? al
+                 : m == 0 || m == 3 || m == 7 ? at : atl);
+            if (!ok) continue;
+            i4_predict(m, top, tl, left, at, al, pred);
+            int32_t sad = 0;
+            for (int r = 0; r < 4; ++r)
+                for (int c = 0; c < 4; ++c) {
+                    int32_t d = int32_t(s[r * width + c]) - pred[4 * r + c];
+                    sad += d < 0 ? -d : d;
+                }
+            int32_t cost = sad + lam * (m == predm ? 1 : 4);
+            if (cost < best_cost) {
+                best_cost = cost;
+                best_mode = m;
+                best_sad = sad;
+                memcpy(best_pred, pred, 16);
+            }
+        }
+        o->mode[z] = int8_t(best_mode);
+        o->sad += best_sad;
+        o->mode_bits += best_mode == predm ? 1 : 4;
+
+        // residual -> transform -> quant -> recon (decoder-identical)
+        int32_t blk[16], orr = 0;
+        for (int r = 0; r < 4; ++r)
+            for (int c = 0; c < 4; ++c) {
+                int32_t v = int32_t(s[r * width + c]) - best_pred[4 * r + c];
+                blk[4 * r + c] = v;
+                orr |= v;
+            }
+        uint8_t* rb = o->recon + by * 4 * 16 + bx * 4;
+        if (!orr) {
+            memset(o->wq[z], 0, sizeof(o->wq[z]));
+            for (int r = 0; r < 4; ++r)
+                memcpy(rb + r * 16, best_pred + 4 * r, 4);
+            continue;
+        }
+        int32_t tr[16];
+        fwd4x4(blk, tr);
+        if (quant_block_full(tr, q, o->wq[z])) {
+            o->any = true;
+            int32_t d[16], res[16];
+            d[0] = dequant_ac(o->wq[z][0], 0, q);
+            dequant_block_ac(o->wq[z], q, d);
+            inv4x4(d, res);
+            for (int r = 0; r < 4; ++r)
+                for (int c = 0; c < 4; ++c)
+                    rb[r * 16 + c] =
+                        clip255(best_pred[4 * r + c] + res[4 * r + c]);
+        } else {
+            for (int r = 0; r < 4; ++r)
+                memcpy(rb + r * 16, best_pred + 4 * r, 4);
+        }
+    }
+}
+
 // One slice: MB rows [my0, my1). Intra prediction and nC contexts stop at
 // the slice boundary (neighbor availability is slice-local, 6.4.8), so
 // slices are fully independent — recon/nnz rows are disjoint per slice and
@@ -603,6 +913,7 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                          int width, int cw, int mbs_x, int my0, int my1,
                          const QuantParams& q, int qp, int idr_pic_id,
                          PlaneCtx py, PlaneCtx pu, PlaneCtx pv,
+                         int8_t* imodes, uint32_t mode_mask, int lam,
                          BitWriter& w) {
     uint8_t* ry = py.recon;
     int16_t* nnz_y = py.nnz;
@@ -616,13 +927,6 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
         w.put_bit(0);                     // long_term_reference_flag
         w.put_se(qp - 26);                // slice_qp_delta
         w.put_ue(1);                      // disable_deblocking_filter_idc
-
-        // luma 4x4 block order inside a MB (6.4.3): 8x8 quadrant z-order,
-        // then 4x4 z-order within
-        static const int kBlkX[16] = {0, 1, 0, 1, 2, 3, 2, 3,
-                                      0, 1, 0, 1, 2, 3, 2, 3};
-        static const int kBlkY[16] = {0, 0, 1, 1, 0, 0, 1, 1,
-                                      2, 2, 3, 3, 2, 2, 3, 3};
 
         for (int my = my0; my < my1; ++my) {
             for (int mx = 0; mx < mbs_x; ++mx) {
@@ -642,13 +946,44 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                          : (top || left) ? (s + 8) >> 4 : 128;
                 }
 
+                // ---- Intra_4x4 candidate vs the I_16x16 DC estimate ----
+                int32_t sad16 = 0;
+                if (imodes) {
+                    for (int r = 0; r < 16; ++r)
+                        for (int c = 0; c < 16; ++c) {
+                            int32_t d = int32_t(y[(y0 + r) * width + x0 + c])
+                                        - pred;
+                            sad16 += d < 0 ? -d : d;
+                        }
+                }
+                I4MB i4;
+                bool use_i4 = false;
+                // flat-MB screen: when the I_16x16 DC estimate is already
+                // cheap (most of a field view), the 9-mode search cannot
+                // pay for its own mode bits — skip it entirely
+                if (imodes && sad16 > lam * 24) {
+                    try_i4_mb(y, width, ry, x0, y0, my0 * 16, imodes,
+                              py.blk_w, py.blk_y0, q, mode_mask, lam, &i4);
+                    // mode decision: prediction SAD + mode-bit rate; the
+                    // I_16x16 side gets a small fixed bit credit (its
+                    // header carries no per-block modes)
+                    use_i4 = i4.sad + lam * i4.mode_bits < sad16 - lam * 4;
+                    if (getenv("VPTPU_I4_TRACE") && use_i4) {
+                        fprintf(stderr, "i4 mb(%d,%d) sad4=%d sad16=%d m=",
+                                mx, my, i4.sad, sad16);
+                        for (int z = 0; z < 16; ++z)
+                            fprintf(stderr, "%d", i4.mode[z]);
+                        fprintf(stderr, "\n");
+                    }
+                }
+
                 // transform all 16 4x4 blocks; collect DC separately
                 int32_t wq[16][16];    // quantized AC (w/ zero DC slot)
-                int32_t dcq[16];       // quantized DC levels (block order)
+                int32_t dcq[16] = {0}; // quantized DC levels (block order)
                 int32_t dc_raw[16];    // raw transform DCs (raster order)
                 bool any_ac = false;
                 uint32_t ac_mask = 0;  // bit b: block b has a nonzero AC
-                for (int b = 0; b < 16; ++b) {
+                for (int b = 0; use_i4 ? false : b < 16; ++b) {
                     int bx = kBlkX[b], by = kBlkY[b];
                     int32_t blk[16], tr[16];
                     int32_t orr = 0;
@@ -680,7 +1015,7 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                 // >> 6) has 4x less gain than the AC path, so levels
                 // carry 4x the precision. |hd| <= 4*255*36 -> product
                 // < 2^29.1: int32 ok.
-                {
+                if (!use_i4) {
                     int32_t hd[16], hq[16];
                     hadamard4x4(dc_raw, hd);
                     quant_dc_n(hd, 4, q, 2, hq);
@@ -768,7 +1103,57 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                 }
                 const int cbp_chroma = c_any_ac ? 2 : (c_any_dc ? 1 : 0);
 
-                // ---- macroblock header ----
+                // ---- macroblock header + luma residual ----
+                if (use_i4) {
+                    // publish this MB's block modes for neighbor
+                    // prediction contexts (left/top precede in coding
+                    // order, so whole-MB upfront is safe)
+                    for (int z = 0; z < 16; ++z)
+                        imodes[(my * 4 + kBlkY[z]) * py.blk_w
+                               + mx * 4 + kBlkX[z]] = i4.mode[z];
+                    // luma cbp restricted to {0, 15}: when any block has
+                    // coefficients — or chroma is coded at all — all four
+                    // luma 8x8s are coded (an empty 4x4 costs one
+                    // coeff_token), keeping the emitted cbp in the
+                    // anchor set {0, 15, 31, 47} of Table 9-4
+                    const int luma_bits =
+                        (i4.any || cbp_chroma) ? 15 : 0;
+                    const int cbp = luma_bits | (cbp_chroma << 4);
+                    w.put_ue(0);  // mb_type: I_4x4 (I slice)
+                    for (int z = 0; z < 16; ++z) {
+                        if (i4.mode[z] == i4.predm[z]) {
+                            w.put_bit(1);
+                        } else {
+                            w.put_bit(0);
+                            int rem = i4.mode[z] < i4.predm[z]
+                                ? i4.mode[z] : i4.mode[z] - 1;
+                            w.put_bits(uint32_t(rem), 3);
+                        }
+                    }
+                    w.put_ue(0);  // intra_chroma_pred_mode: DC
+                    // Table 9-4 intra mapping, anchor rows:
+                    // cbp 0 -> 3, 15 -> 2, 31 -> 1, 47 -> 0
+                    w.put_ue(cbp == 0 ? 3u : cbp == 15 ? 2u
+                             : cbp == 31 ? 1u : 0u);
+                    if (cbp) w.put_se(0);  // mb_qp_delta
+                    for (int z = 0; z < 16; ++z) {
+                        int bx = mx * 4 + kBlkX[z], by = my * 4 + kBlkY[z];
+                        if (luma_bits) {
+                            int32_t scan[16];
+                            for (int i = 0; i < 16; ++i)
+                                scan[i] = i4.wq[z][kZigzag[i]];
+                            int tc = write_block(w, scan, 16,
+                                                 pred_nc(py, bx, by));
+                            nnz_y[by * py.blk_w + bx] = int16_t(tc);
+                        } else {
+                            nnz_y[by * py.blk_w + bx] = 0;
+                        }
+                    }
+                } else {
+                if (imodes)
+                    for (int z = 0; z < 16; ++z)
+                        imodes[(my * 4 + kBlkY[z]) * py.blk_w
+                               + mx * 4 + kBlkX[z]] = -1;
                 // I_16x16 mb_type: 1 + predMode(2=DC) + 4*cbpChroma
                 //                    + 12*(cbpLuma ? 1 : 0)
                 w.put_ue(uint32_t(1 + 2 + 4 * cbp_chroma + 12 * cbp_luma));
@@ -801,6 +1186,7 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                         for (int i = 1; i < 16; ++i) wq[b][i] = 0;
                     }
                 }
+                }
                 // ---- chroma DC (both components) when cbp_chroma ----
                 if (cbp_chroma) {
                     for (int comp = 0; comp < 2; ++comp)
@@ -828,7 +1214,11 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
 
                 // ---- reconstruction (decoder-identical) ----
                 // luma DC dequant (8.5.10, qp < 36 branch)
-                {
+                if (use_i4) {
+                    for (int r = 0; r < 16; ++r)
+                        memcpy(ry + (y0 + r) * width + x0,
+                               i4.recon + r * 16, 16);
+                } else {
                     bool any_dc = false;
                     for (int b = 0; b < 16; ++b)
                         if (dcq[b]) { any_dc = true; break; }
@@ -951,9 +1341,31 @@ long vptpu_h264_cavlc_encode_mt(const uint8_t* y, const uint8_t* u,
     int16_t* nnz_y = (int16_t*)calloc(size_t(mbs_x * 4) * (mbs_y * 4), 2);
     int16_t* nnz_u = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
     int16_t* nnz_v = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    // Intra_4x4 block-mode map (-1 = not I_4x4) for the cross-MB mode
+    // prediction context; VPTPU_I4=0 disables the I_4x4 mode entirely
+    // (pure Intra_16x16-DC, the pre-round-3 behavior), VPTPU_I4_MODEMASK
+    // restricts the candidate prediction modes (debug aid).
+    static const bool i4_on = [] {
+        const char* p = getenv("VPTPU_I4");
+        return !(p && p[0] == '0');
+    }();
+    static const uint32_t i4_mask = [] {
+        const char* p = getenv("VPTPU_I4_MODEMASK");
+        return p ? uint32_t(strtoul(p, nullptr, 0)) : 0x1FFu;
+    }();
+    int8_t* imodes =
+        i4_on ? (int8_t*)malloc(size_t(mbs_x * 4) * (mbs_y * 4)) : nullptr;
+    if (imodes) memset(imodes, -1, size_t(mbs_x * 4) * (mbs_y * 4));
+    // SAD lambda ~ 0.85 * 2^((qp-12)/3), the standard SAD-domain rate
+    // weight, for the mode-bit terms of the I4/I16 decision
+    int lam = 1;
+    for (int e = 0; e < (qp - 12) / 3; ++e) lam *= 2;
+    lam = qp >= 12 ? (lam * 87 + 50) / 100 : 1;
+    if (lam < 1) lam = 1;
     long rc = -1;
     long off = -1;
-    if (!ry || !ru || !rv || !nnz_y || !nnz_u || !nnz_v) goto done;
+    if (!ry || !ru || !rv || !nnz_y || !nnz_v || !nnz_u
+        || (i4_on && !imodes)) goto done;
 
     off = vptpu::emit_sps_pps(out, out_cap, 0, scratch, scratch_cap,
                               mbs_x, mbs_y);
@@ -983,7 +1395,8 @@ long vptpu_h264_cavlc_encode_mt(const uint8_t* y, const uint8_t* u,
                 PlaneCtx pu{ru, cw, nnz_u, mbs_x * 2, m0 * 2};
                 PlaneCtx pv{rv, cw, nnz_v, mbs_x * 2, m0 * 2};
                 encode_slice(y, u, v, width, cw, mbs_x, m0, m1, q, qp,
-                             idr_pic_id, py, pu, pv, ws[s]);
+                             idr_pic_id, py, pu, pv, imodes, i4_mask, lam,
+                             ws[s]);
             };
             std::vector<std::thread> threads;
             for (int s = 1; s < n_slices; ++s) threads.emplace_back(run, s);
@@ -1006,6 +1419,7 @@ done:
     if (!recon_u) free(ru);
     if (!recon_v) free(rv);
     free(nnz_y); free(nnz_u); free(nnz_v);
+    free(imodes);
     return rc;
 }
 
