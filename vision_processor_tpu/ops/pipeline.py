@@ -181,9 +181,17 @@ def blob_machine(
             cfg.flat_shape,
             cfg.fmt,
         )
-    grad = B.gradient_dot(flat, cfg.grad_offset)
-    sat = B.summed_area_table(grad)
-    circ = B.circularity(sat, cfg.sat_radius)
+    from .blob_pallas import circularity_fused, use_fused_circ
+
+    if use_fused_circ() and cfg.sat_radius >= 2 and not cfg.debug_images:
+        # fused Pallas band kernel (grad+box+circ in one VMEM pass);
+        # interior-identical to the XLA chain up to f32 reassociation,
+        # border band differs (ops/blob_pallas.py docstring)
+        circ = circularity_fused(flat, cfg.grad_offset, cfg.sat_radius)
+    else:
+        grad = B.gradient_dot(flat, cfg.grad_offset)
+        sat = B.summed_area_table(grad)
+        circ = B.circularity(sat, cfg.sat_radius)
     blobs = B.extract_blobs(
         flat,
         circ,
