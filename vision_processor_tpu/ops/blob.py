@@ -288,13 +288,21 @@ def extract_blobs(
     def gather2d(img, yy, xx):
         return img.reshape(-1, *img.shape[2:])[yy * w + xx]
 
-    cnx = gather2d(circ, iy, jnp.maximum(ix - 1, 0))
-    cpx = gather2d(circ, iy, jnp.minimum(ix + 1, w - 1))
-    cny = gather2d(circ, jnp.maximum(iy - 1, 0), ix)
-    cpy = gather2d(circ, jnp.minimum(iy + 1, h - 1), ix)
+    # all four sub-pixel neighbors in ONE gather (4K indices in a single
+    # op instead of four 1K-index ops)
+    nidx = jnp.stack(
+        [
+            iy * w + jnp.maximum(ix - 1, 0),
+            iy * w + jnp.minimum(ix + 1, w - 1),
+            jnp.maximum(iy - 1, 0) * w + ix,
+            jnp.minimum(iy + 1, h - 1) * w + ix,
+        ],
+        axis=-1,
+    )
+    nv = circ.reshape(-1)[nidx.reshape(-1)].reshape(-1, 4)
 
-    px = ix.astype(jnp.float32) + subpixel_peak(cnx, c0, cpx)
-    py = iy.astype(jnp.float32) + subpixel_peak(cny, c0, cpy)
+    px = ix.astype(jnp.float32) + subpixel_peak(nv[:, 0], c0, nv[:, 1])
+    py = iy.astype(jnp.float32) + subpixel_peak(nv[:, 2], c0, nv[:, 3])
 
     # downstream consumes slots in descending-score order (the detector's
     # ring/anchor tie-breaks key on slot position)
@@ -309,6 +317,89 @@ def extract_blobs(
         "center": gather2d(flat, iy, ix)[order],
         "circ": c0[order],
         "score": jnp.where(slot_valid, sort_score, 0.0),
+        "valid": slot_valid,
+        "count": count,
+    }
+
+
+def blob_response(flat, circ, circ_threshold, radius: int):
+    """Full-map blob response: (masked score, mean color) per pixel.
+
+    The score-first formulation of the reference's blobList semantics
+    (reference kernel/blobList.cl:48-94): every pixel surviving the
+    threshold + local-max test carries score = circ / sum(stddev) and the
+    disc mean color; extraction then selects directly by score, so the
+    compaction needs no second ordering pass and no candidate-local
+    gathers. Span-sum based (disc_stats_sat); the TPU path computes the
+    same maps inside the fused band kernel (ops/blob_pallas.py).
+
+    Returns (masked_score (H, W) with -inf outside the mask, mean
+    (H, W, 3), count scalar).
+    """
+    s1, s2, n = disc_stats_sat(flat, radius)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    stddev_sum = jnp.sum(jnp.sqrt(var), axis=-1)
+    score = circ / jnp.maximum(stddev_sum, 1e-12)
+    keep = (circ >= circ_threshold) & local_max_mask(circ)
+    return jnp.where(keep, score, -jnp.inf), mean, jnp.sum(
+        keep, dtype=jnp.int32
+    )
+
+
+@partial(jax.jit, static_argnames=("max_blobs",))
+def extract_blobs_scored(flat, circ, masked_score, mean, count,
+                         max_blobs: int):
+    """Blob compaction from a per-pixel response (see blob_response).
+
+    Selection keys directly on the score — the slot order IS the score
+    order, matching extract_blobs' output contract without its second
+    top_k; the per-candidate work left is three small gathers (mean,
+    center, circ+neighbors for the sub-pixel peak).
+    """
+    h, w = masked_score.shape
+    m = min(w, max(16, -(-4 * max_blobs // h)))
+    row_scores, row_idx = jax.lax.top_k(masked_score, m)
+    cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
+    top_score, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
+    idx = cand_idx[ci]
+    slot_valid = top_score > -jnp.inf
+
+    iy = idx // w
+    ix = idx % w
+
+    def gather2d(img, yy, xx):
+        return img.reshape(-1, *img.shape[2:])[yy * w + xx]
+
+    # circ at the winner and its 4 neighbors in one gather (sub-pixel peak)
+    nidx = jnp.stack(
+        [
+            iy * w + ix,
+            iy * w + jnp.maximum(ix - 1, 0),
+            iy * w + jnp.minimum(ix + 1, w - 1),
+            jnp.maximum(iy - 1, 0) * w + ix,
+            jnp.minimum(iy + 1, h - 1) * w + ix,
+        ],
+        axis=-1,
+    )
+    nv = circ.reshape(-1)[nidx.reshape(-1)].reshape(-1, 5)
+    c0 = jnp.where(slot_valid, nv[:, 0], 0.0)
+    px = ix.astype(jnp.float32) + subpixel_peak(nv[:, 1], c0, nv[:, 2])
+    py = iy.astype(jnp.float32) + subpixel_peak(nv[:, 3], c0, nv[:, 4])
+
+    if isinstance(mean, (tuple, list)):
+        # channel planes (the fused kernel's output layout): per-plane
+        # gathers beat materializing an (H, W, 3) interleaved copy
+        color = jnp.stack([p.reshape(-1)[idx] for p in mean], axis=-1)
+    else:
+        color = gather2d(mean, iy, ix)
+
+    return {
+        "pos": jnp.stack([px, py], axis=-1),
+        "color": color,
+        "center": gather2d(flat, iy, ix),
+        "circ": c0,
+        "score": jnp.where(slot_valid, top_score, 0.0),
         "valid": slot_valid,
         "count": count,
     }

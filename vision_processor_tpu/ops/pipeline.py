@@ -181,25 +181,60 @@ def blob_machine(
             cfg.flat_shape,
             cfg.fmt,
         )
-    from .blob_pallas import circularity_fused, use_fused_circ
+    import os
 
-    if use_fused_circ() and cfg.sat_radius >= 2 and not cfg.debug_images:
-        # fused Pallas band kernel (grad+box+circ in one VMEM pass);
-        # interior-identical to the XLA chain up to f32 reassociation,
-        # border band differs (ops/blob_pallas.py docstring)
-        circ = circularity_fused(flat, cfg.grad_offset, cfg.sat_radius)
-    else:
-        grad = B.gradient_dot(flat, cfg.grad_offset)
-        sat = B.summed_area_table(grad)
-        circ = B.circularity(sat, cfg.sat_radius)
-    blobs = B.extract_blobs(
-        flat,
-        circ,
-        circ_threshold,
-        jnp.float32(0.0),
-        radius=cfg.disc_radius,
-        max_blobs=cfg.max_blobs,
+    from .blob_pallas import (
+        blob_response_fused,
+        circularity_fused,
+        response_kernel_fits,
+        use_fused_circ,
     )
+
+    score_first = os.environ.get("VPTPU_SCOREFIRST", "1") != "0"
+    fits = response_kernel_fits(
+        cfg.grad_offset, cfg.sat_radius, cfg.disc_radius
+    )
+    if score_first and not cfg.debug_images:
+        # score-first extraction: the per-pixel response (masked score +
+        # disc mean color) is computed map-wide — fused band kernel on
+        # TPU, span sums elsewhere — and compaction selects directly by
+        # score, eliminating the candidate-local disc gathers and the
+        # second ordering pass (the reference also scores every
+        # surviving pixel, kernel/blobList.cl:48-94)
+        if use_fused_circ() and fits:
+            ms, circ, mean, count = blob_response_fused(
+                flat, circ_threshold, cfg.grad_offset, cfg.sat_radius,
+                cfg.disc_radius,
+            )
+        else:
+            grad = B.gradient_dot(flat, cfg.grad_offset)
+            circ = B.circularity(
+                B.summed_area_table(grad), cfg.sat_radius
+            )
+            ms, mean, count = B.blob_response(
+                flat, circ, circ_threshold, cfg.disc_radius
+            )
+        blobs = B.extract_blobs_scored(
+            flat, circ, ms, mean, count, max_blobs=cfg.max_blobs
+        )
+    else:
+        if use_fused_circ() and cfg.sat_radius >= 2 and not cfg.debug_images:
+            # fused Pallas band kernel (grad+box+circ in one VMEM pass);
+            # interior-identical to the XLA chain up to f32 reassociation,
+            # border band differs (ops/blob_pallas.py docstring)
+            circ = circularity_fused(flat, cfg.grad_offset, cfg.sat_radius)
+        else:
+            grad = B.gradient_dot(flat, cfg.grad_offset)
+            sat = B.summed_area_table(grad)
+            circ = B.circularity(sat, cfg.sat_radius)
+        blobs = B.extract_blobs(
+            flat,
+            circ,
+            circ_threshold,
+            jnp.float32(0.0),
+            radius=cfg.disc_radius,
+            max_blobs=cfg.max_blobs,
+        )
 
     # flat-grid px -> field mm
     offset = jnp.asarray(field_offset, dtype=jnp.float32)
