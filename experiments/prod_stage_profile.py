@@ -71,6 +71,31 @@ def main():
                                         bm.plane_shape)
         return F.resample_flat_grid_raw(raw, grid, bm.fmt)
 
+    def s_response(raw):
+        from vision_processor_tpu.ops.blob_pallas import blob_response_fused
+
+        flat = s_resample(raw)
+        return blob_response_fused(flat, params["min_circularity"],
+                                   bm.grad_offset, bm.sat_radius,
+                                   bm.disc_radius)
+
+    def s_extract_scored(raw):
+        from vision_processor_tpu.ops.blob_pallas import blob_response_fused
+
+        flat = s_resample(raw)
+        ms, circ, mean, count = blob_response_fused(
+            flat, params["min_circularity"], bm.grad_offset, bm.sat_radius,
+            bm.disc_radius)
+        return B.extract_blobs_scored(flat, circ, ms, mean, count,
+                                      max_blobs=bm.max_blobs)
+
+    def s_full_scored(raw):
+        blobs = s_extract_scored(raw)
+        blobs = {**blobs, "field_pos": blobs["pos"] * fs + fo}
+        tracked = M.tracked_from_summaries(
+            det_cfg, M.empty_summary(cfg), params["tracked_time_delta"])
+        return detect(det_cfg, blobs, tracked, col[:6], cam, params)
+
     def s_grad(raw):
         return B.gradient_dot(s_resample(raw), bm.grad_offset)
 
@@ -96,11 +121,11 @@ def main():
         return detect(det_cfg, blobs, tracked, col[:6], cam, params)
 
     timeit(s_resample, (raw,), "resample (cached grid)")
-    timeit(s_grad, (raw,), "+ gradient_dot")
-    timeit(s_sat, (raw,), "+ SAT")
-    timeit(s_circ, (raw,), "+ circularity")
-    timeit(s_blobs, (raw,), "+ extract_blobs")
-    timeit(s_full, (raw,), "+ detector")
+    timeit(s_response, (raw,), "+ fused blob response (score-first)")
+    timeit(s_extract_scored, (raw,), "+ scored extraction")
+    timeit(s_full_scored, (raw,), "+ detector (score-first chain)")
+    timeit(s_blobs, (raw,), "[old] extract_blobs chain")
+    timeit(s_full, (raw,), "[old] + detector")
 
 
 if __name__ == "__main__" and len(sys.argv) == 1:

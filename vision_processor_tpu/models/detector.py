@@ -260,22 +260,37 @@ def detection_hypotheses(cfg: DetectorConfig, blob_pos, blob_valid, max_robot_ra
     # the leading slots and starve every true robot center out of the
     # anchor window.
     if a < k_all and blob_color is not None and colors is not None:
-        yellow, blue = colors[2], colors[3]
-        d_team = jnp.minimum(
-            jnp.sum((blob_color - yellow) ** 2, axis=-1),
-            jnp.sum((blob_color - blue) ** 2, axis=-1),
+        def ranked_anchors():
+            yellow, blue = colors[2], colors[3]
+            d_team = jnp.minimum(
+                jnp.sum((blob_color - yellow) ** 2, axis=-1),
+                jnp.sum((blob_color - blue) ** 2, axis=-1),
+            )
+            other_idx = [
+                i for i in range(colors.shape[0]) if i not in (2, 3)
+            ]
+            d_other = jnp.min(
+                jnp.stack([
+                    jnp.sum((blob_color - colors[i]) ** 2, axis=-1)
+                    for i in other_idx
+                ]),
+                axis=0,
+            )
+            a_rank = jnp.where(blob_valid, d_team - d_other, jnp.inf)
+            # stable argsort: equal distances keep extraction-score order
+            return jnp.argsort(a_rank)[:a].astype(jnp.int32)
+
+        # When the cap does NOT bind (valid blobs fit the anchor window),
+        # the first `a` slots already contain every valid blob (valid
+        # slots are a prefix), and hypotheses are per-anchor independent
+        # — so the identity window is exactly equivalent and the 2000-row
+        # ranking argsort only runs on dense scenes where the cap bites.
+        n_valid = jnp.sum(blob_valid, dtype=jnp.int32)
+        anchor_idx = jax.lax.cond(
+            n_valid <= a,
+            lambda: jnp.arange(a, dtype=jnp.int32),
+            ranked_anchors,
         )
-        other_idx = [i for i in range(colors.shape[0]) if i not in (2, 3)]
-        d_other = jnp.min(
-            jnp.stack([
-                jnp.sum((blob_color - colors[i]) ** 2, axis=-1)
-                for i in other_idx
-            ]),
-            axis=0,
-        )
-        a_rank = jnp.where(blob_valid, d_team - d_other, jnp.inf)
-        # stable argsort: equal distances keep extraction-score order
-        anchor_idx = jnp.argsort(a_rank)[:a].astype(jnp.int32)
         anchor_pos = blob_pos[anchor_idx]
         anchor_valid = blob_valid[anchor_idx]
     else:
