@@ -914,7 +914,7 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                          const QuantParams& q, int qp, int idr_pic_id,
                          PlaneCtx py, PlaneCtx pu, PlaneCtx pv,
                          int8_t* imodes, uint32_t mode_mask, int lam,
-                         BitWriter& w) {
+                         int pcm_mode, BitWriter& w) {
     uint8_t* ry = py.recon;
     int16_t* nnz_y = py.nnz;
     {
@@ -1103,6 +1103,12 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                 }
                 const int cbp_chroma = c_any_ac ? 2 : (c_any_dc ? 1 : 0);
 
+                // writer snapshot: the I_PCM fallback below rewinds the
+                // whole MB if entropy coding loses to the raw samples
+                const long snap_pos = w.pos;
+                const int snap_bit = w.bit;
+                const uint32_t snap_acc = w.acc;
+
                 // ---- macroblock header + luma residual ----
                 if (use_i4) {
                     // publish this MB's block modes for neighbor
@@ -1210,6 +1216,63 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                     }
                     if (cbp_chroma < 1)
                         for (int i = 0; i < 4; ++i) cdcq[comp][i] = 0;
+                }
+
+                // ---- per-MB I_PCM fallback (spec 7.3.5, 8.3.5) ----
+                // When the entropy-coded MB costs more than the raw
+                // samples, rewind the writer and send the MB verbatim:
+                // bounds the worst case at 3081+7 bits/MB regardless of
+                // content (QP >= 10 already keeps levels inside the CAVLC
+                // escape range, so this is a rate bound, not correctness).
+                // VPTPU_PCM=0 disables, VPTPU_PCM=force sends every MB
+                // as I_PCM (test hook: the decode is then lossless).
+                const long mb_bits =
+                    (w.pos - snap_pos) * 8 + (w.bit - snap_bit);
+                bool use_pcm = pcm_mode == 2;
+                if (pcm_mode == 1) {
+                    const long ipcm_bits =
+                        9 + ((8 - ((snap_bit + 9) & 7)) & 7) + 384 * 8;
+                    use_pcm = mb_bits > ipcm_bits;
+                }
+                if (use_pcm) {
+                    w.pos = snap_pos; w.bit = snap_bit; w.acc = snap_acc;
+                    w.put_ue(25);         // mb_type: I_PCM (I slice)
+                    w.byte_align_zero();  // pcm_alignment_zero_bit
+                    for (int r = 0; r < 16; ++r)
+                        w.put_bytes(y + (y0 + r) * width + x0, 16);
+                    const int cx0 = mx * 8, cy0 = my * 8;
+                    for (int r = 0; r < 8; ++r)
+                        w.put_bytes(u + (cy0 + r) * cw + cx0, 8);
+                    for (int r = 0; r < 8; ++r)
+                        w.put_bytes(v + (cy0 + r) * cw + cx0, 8);
+                    // neighbors of an I_PCM MB predict nC with
+                    // TotalCoeff 16 (9.2.1) and Intra4x4PredMode DC
+                    for (int z = 0; z < 16; ++z) {
+                        const int bi = (my * 4 + kBlkY[z]) * py.blk_w
+                                       + mx * 4 + kBlkX[z];
+                        nnz_y[bi] = 16;
+                        if (imodes) imodes[bi] = -1;
+                    }
+                    for (int b = 0; b < 4; ++b) {
+                        const int bx = mx * 2 + (b & 1);
+                        const int by = my * 2 + (b >> 1);
+                        pu.nnz[by * pu.blk_w + bx] = 16;
+                        pv.nnz[by * pv.blk_w + bx] = 16;
+                    }
+                    // decoded samples are the source, exactly
+                    for (int r = 0; r < 16; ++r)
+                        memcpy(ry + (y0 + r) * width + x0,
+                               y + (y0 + r) * width + x0, 16);
+                    for (int r = 0; r < 8; ++r) {
+                        memcpy(pu.recon + (cy0 + r) * cw + cx0,
+                               u + (cy0 + r) * cw + cx0, 8);
+                        memcpy(pv.recon + (cy0 + r) * cw + cx0,
+                               v + (cy0 + r) * cw + cx0, 8);
+                    }
+                    if (getenv("VPTPU_PCM_TRACE"))
+                        fprintf(stderr, "pcm mb(%d,%d) bits=%ld\n",
+                                mx, my, mb_bits);
+                    continue;  // recon done above
                 }
 
                 // ---- reconstruction (decoder-identical) ----
@@ -1362,6 +1425,13 @@ long vptpu_h264_cavlc_encode_mt(const uint8_t* y, const uint8_t* u,
     for (int e = 0; e < (qp - 12) / 3; ++e) lam *= 2;
     lam = qp >= 12 ? (lam * 87 + 50) / 100 : 1;
     if (lam < 1) lam = 1;
+    // per-MB I_PCM fallback policy (read per call so tests can toggle):
+    // default auto (rewind any MB whose coded size beats raw samples)
+    int pcm_mode = 1;
+    if (const char* pe = getenv("VPTPU_PCM")) {
+        if (pe[0] == '0') pcm_mode = 0;
+        else if (!strcmp(pe, "force")) pcm_mode = 2;
+    }
     long rc = -1;
     long off = -1;
     if (!ry || !ru || !rv || !nnz_y || !nnz_v || !nnz_u
@@ -1396,7 +1466,7 @@ long vptpu_h264_cavlc_encode_mt(const uint8_t* y, const uint8_t* u,
                 PlaneCtx pv{rv, cw, nnz_v, mbs_x * 2, m0 * 2};
                 encode_slice(y, u, v, width, cw, mbs_x, m0, m1, q, qp,
                              idr_pic_id, py, pu, pv, imodes, i4_mask, lam,
-                             ws[s]);
+                             pcm_mode, ws[s]);
             };
             std::vector<std::thread> threads;
             for (int s = 1; s < n_slices; ++s) threads.emplace_back(run, s);

@@ -340,3 +340,67 @@ def test_cavlc_fuzz_bitexact(tmp_path):
         lumas = _decode_raw_luma(path, h)
         assert lumas, f"trial {trial} qp{qp} {w}x{h}: did not decode"
         assert np.array_equal(lumas[0], ry), f"trial {trial} qp{qp} {w}x{h}"
+
+
+def test_cavlc_ipcm_fallback(tmp_path, monkeypatch):
+    """Per-MB I_PCM fallback: any MB whose CAVLC coding costs more than
+    the raw samples is rewound and sent verbatim (spec 7.3.5/8.3.5),
+    bounding the worst-case MB at ~390 bytes regardless of content
+    (reference encoders do the same; cf. reference src/rtpstreamer.cpp
+    codec tiers). Checks the forced path is lossless through a stock
+    decoder (neighbor nC=16 and DC-mode contexts included), that auto
+    mode engages on pathological content and shrinks the stream, and
+    that mixed PCM/coded streams stay decode-exact."""
+    from vision_processor_tpu.io.native import H264Encoder
+
+    try:
+        enc = H264Encoder(qp=24)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker_y = (((yy + xx) & 1) * 255).astype(np.uint8)
+    checker_c = (((yy[: h // 2, : w // 2] + xx[: h // 2, : w // 2]) & 1)
+                 * 255).astype(np.uint8)
+    flat_u = np.full((h // 2, w // 2), 200, np.uint8)
+    flat_v = np.full((h // 2, w // 2), 60, np.uint8)
+
+    # 1. forced I_PCM: the decoded luma equals the SOURCE exactly
+    monkeypatch.setenv("VPTPU_PCM", "force")
+    bs, ry, _, _ = enc.encode_i420_recon(checker_y, flat_u, flat_v)
+    assert np.array_equal(ry, checker_y)
+    p = tmp_path / "pcm_force.h264"
+    p.write_bytes(bs)
+    lum = _decode_raw_luma(p, h)
+    assert lum and np.array_equal(lum[0], checker_y)
+
+    # 2. auto engages on a full-range checkerboard at qp 10 and beats
+    #    the PCM-off stream; the worst case is bounded near raw size
+    enc10 = H264Encoder(qp=10)
+    monkeypatch.setenv("VPTPU_PCM", "0")
+    bs_off, *_ = enc10.encode_i420_recon(checker_y, checker_c,
+                                         255 - checker_c)
+    monkeypatch.setenv("VPTPU_PCM", "1")
+    bs_auto, ry2, _, _ = enc10.encode_i420_recon(checker_y, checker_c,
+                                                 255 - checker_c)
+    n_mbs = (h // 16) * (w // 16)
+    assert len(bs_auto) < len(bs_off)
+    assert len(bs_auto) <= n_mbs * 392 + 512  # 384 B raw + header + NALs
+    p2 = tmp_path / "pcm_auto.h264"
+    p2.write_bytes(bs_auto)
+    lum2 = _decode_raw_luma(p2, h)
+    assert lum2 and np.array_equal(lum2[0], ry2)
+
+    # 3. mixed coded/PCM frame (noise rows + checkerboard rows): the
+    #    PCM<->coded neighbor prediction contexts must stay decode-exact
+    rng = np.random.default_rng(7)
+    y_mix = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    y_mix[:32] = checker_y[:32]
+    u_mix = checker_c.copy()
+    u_mix[16:] = 128
+    bs3, ry3, _, _ = enc10.encode_i420_recon(y_mix, u_mix, flat_v)
+    p3 = tmp_path / "pcm_mix.h264"
+    p3.write_bytes(bs3)
+    lum3 = _decode_raw_luma(p3, h)
+    assert lum3 and np.array_equal(lum3[0], ry3)
