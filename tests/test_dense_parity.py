@@ -456,3 +456,60 @@ def test_tracked_caps_match_uncapped_oracle():
     )
     assert float(out["orientation"][0]) == pytest.approx(o_best[0], abs=1e-3)
     assert np.allclose(out["pos"][0], o_best[1], atol=0.2)
+
+
+def test_anchor_tier_semantically_equivalent_when_not_binding():
+    """Occupancy-adaptive anchor tier (DetectorConfig.max_anchors_tier):
+    when every valid blob fits the small window, the tiered search must
+    produce the same hypotheses as the untiered full window on every
+    VALID anchor slot (scores/positions within fp-reassociation
+    tolerance — the smaller matmul tiles reassociate differently — and
+    identical winning constellations), and padded slots must be inert
+    (score 0, valid False). Sparse scene: all planted robots among the
+    first 128 slots."""
+    rng = np.random.default_rng(5)
+    packed_colors, pos, col, valid, anchors, bot_truth = build_scene(
+        rng, n_bots=6, n_spurious=60
+    )
+    n = len(pos)
+    n_valid = int(np.sum(valid))
+    pad_n = 600  # slot budget well beyond the tier
+    pos_p = np.zeros((pad_n, 2), np.float32)
+    pos_p[:n] = pos
+    col_p = np.zeros((pad_n, 3), np.float32)
+    col_p[:n] = col
+    valid_p = np.zeros(pad_n, bool)
+    valid_p[:n] = valid
+
+    cfg_tier = DetectorConfig(max_blobs=pad_n, max_anchors=512,
+                              max_anchors_tier=128)
+    cfg_full = DetectorConfig(max_blobs=pad_n, max_anchors=512,
+                              max_anchors_tier=0)
+    assert n_valid <= cfg_tier.max_anchors_tier, "scene must fit the tier"
+
+    dt = detection_hypotheses(
+        cfg_tier, pos_p, valid_p, np.float32(MAX_ROBOT_RADIUS),
+        blob_color=col_p, colors=packed_colors[:6],
+    )
+    df = detection_hypotheses(
+        cfg_full, pos_p, valid_p, np.float32(MAX_ROBOT_RADIUS),
+        blob_color=col_p, colors=packed_colors[:6],
+    )
+    dt = {k: np.asarray(v) for k, v in dt.items()}
+    df = {k: np.asarray(v) for k, v in df.items()}
+
+    assert dt["score"].shape == df["score"].shape == (512,)
+    live = df["score"] > 0.0
+    assert live.any() and not live[128:].any()
+    np.testing.assert_allclose(dt["score"][live], df["score"][live],
+                               rtol=1e-4)
+    np.testing.assert_allclose(dt["pos"][live], df["pos"][live], atol=0.05)
+    np.testing.assert_allclose(dt["orientation"][live],
+                               df["orientation"][live], atol=1e-4)
+    assert np.array_equal(dt["blob_idx"][live], df["blob_idx"][live])
+    # padded tier slots are inert
+    assert not dt["valid"][128:].any()
+    assert (dt["score"][128:] == 0.0).all()
+    # every planted robot found by both
+    found = set(dt["blob_idx"][live][:, 0].tolist())
+    assert set(anchors) <= found
