@@ -513,3 +513,70 @@ def test_anchor_tier_semantically_equivalent_when_not_binding():
     # every planted robot found by both
     found = set(dt["blob_idx"][live][:, 0].tolist())
     assert set(anchors) <= found
+
+
+def test_anchor_tier_boundary_occupancies():
+    """The tier cond boundary: (a) a mid-occupancy scene (tier <
+    n_valid <= max_anchors) must take the FULL window in both configs —
+    outputs bit-identical, every planted robot found; (b) a scene with
+    n_valid exactly == tier must take the small window and still match
+    the untiered search on all valid slots."""
+    rng = np.random.default_rng(11)
+    pad_n = 600
+    tier = 128
+
+    def run(cfg, pos, col, valid, packed_colors):
+        n = len(pos)
+        pos_p = np.zeros((pad_n, 2), np.float32)
+        pos_p[:n] = pos
+        col_p = np.zeros((pad_n, 3), np.float32)
+        col_p[:n] = col
+        valid_p = np.zeros(pad_n, bool)
+        valid_p[:n] = valid
+        out = detection_hypotheses(
+            cfg, pos_p, valid_p, np.float32(MAX_ROBOT_RADIUS),
+            blob_color=col_p, colors=packed_colors[:6],
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    cfg_tier = DetectorConfig(max_blobs=pad_n, max_anchors=512,
+                              max_anchors_tier=tier)
+    cfg_full = DetectorConfig(max_blobs=pad_n, max_anchors=512,
+                              max_anchors_tier=0)
+
+    # (a) mid occupancy: 8 bots (40 pattern blobs) + 180 spurious = 220
+    packed_colors, pos, col, valid, anchors, _ = build_scene(
+        rng, n_bots=8, n_spurious=180
+    )
+    n_valid = int(np.sum(valid))
+    assert tier < n_valid <= 512, "scene must straddle the tier"
+    dt = run(cfg_tier, pos, col, valid, packed_colors)
+    df = run(cfg_full, pos, col, valid, packed_colors)
+    # both configs run the full window; the tiered program carries the
+    # (untaken) small-window branch, which changes XLA fusion choices —
+    # equality is to fp-reassociation tolerance, constellations identical
+    assert np.array_equal(dt["blob_idx"], df["blob_idx"])
+    assert np.array_equal(dt["valid"], df["valid"])
+    np.testing.assert_allclose(dt["score"], df["score"], atol=2e-5)
+    np.testing.assert_allclose(dt["pos"], df["pos"], atol=0.05)
+    np.testing.assert_allclose(dt["orientation"], df["orientation"],
+                               atol=1e-4)
+    found = set(dt["blob_idx"][dt["score"] > 0.0][:, 0].tolist())
+    assert set(anchors) <= found
+
+    # (b) exactly at the tier: trim/grow the spurious count so
+    # n_valid == tier (tier path taken, inclusive boundary)
+    packed_colors, pos, col, valid, anchors, _ = build_scene(
+        rng, n_bots=6, n_spurious=tier - 6 * 5
+    )
+    assert int(np.sum(valid)) == tier
+    dt = run(cfg_tier, pos, col, valid, packed_colors)
+    df = run(cfg_full, pos, col, valid, packed_colors)
+    live = df["score"] > 0.0
+    assert live.any() and not live[tier:].any()
+    np.testing.assert_allclose(dt["score"][live], df["score"][live],
+                               rtol=1e-4)
+    np.testing.assert_allclose(dt["pos"][live], df["pos"][live], atol=0.05)
+    assert np.array_equal(dt["blob_idx"][live], df["blob_idx"][live])
+    found = set(dt["blob_idx"][live][:, 0].tolist())
+    assert set(anchors) <= found
