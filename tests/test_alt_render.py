@@ -163,3 +163,63 @@ def test_alt_rendered_scene_detection(alt_dataset, tmp_path, cam_id, factor):
     assert np.mean(ball_errs) < 30.0, (
         f"mean ball position error {np.mean(ball_errs):.1f} mm"
     )
+
+
+def test_alt_field_autocalibration(alt_dataset):
+    """Auto-calibration (ridge threshold -> LSD -> corner-permutation fit,
+    reference src/calib/GeomModel.cpp:505-620) has only ever consumed the
+    primary renderer's exact 1-px lines on flat carpet. The alt renderer's
+    field has anti-aliased resampled lines over correlated carpet texture,
+    vignette and shot noise — calibrate from its empty-field image and
+    demand sub-3-px median reprojection agreement with the true model
+    (measured: 0.46 px median)."""
+    import cv2
+
+    from vision_processor_tpu.calib import geometry as G
+    from vision_processor_tpu.models.camera import (
+        CameraModel,
+        visible_field_extent_estimation,
+    )
+    from vision_processor_tpu.net.geometry_io import load_geometry
+    from vision_processor_tpu.utils.config import VisionConfig
+
+    folder = alt_dataset / "altsynth" / "cam0"
+    geo = load_geometry(folder / "geometry.yml")
+    field = geo.geometry.field
+    true_model = CameraModel.from_proto(geo.geometry.calib[0])
+    img = cv2.imread(str(folder / "field.png"))[..., ::-1].copy()
+
+    cfg = VisionConfig()
+    cfg.cam_id = 0
+    cfg.camera_amount = 2
+    # near-perpendicular views cannot resolve the focal/height ambiguity
+    # (reference config.yml documents this); the rig provides mount height
+    cfg.camera_height = float(true_model.pos[2])
+    lo, hi = visible_field_extent_estimation(0, 2, field, False)
+    corners_field = [
+        [lo[0], lo[1]], [lo[0], hi[1]], [hi[0], hi[1]], [hi[0], lo[1]],
+    ]
+    cfg.line_corners = [
+        true_model.field2image(np.array([c[0], c[1], 0.0]))
+        for c in corners_field
+    ]
+
+    model = G.geometry_calibration(
+        cfg, field, img, out_dir=str(alt_dataset / "calib_img"))
+    assert model is not None
+
+    pts = np.array([
+        [x, y, 0.0]
+        for x in np.linspace(lo[0] + 200, hi[0] - 200, 8)
+        for y in np.linspace(lo[1] + 200, hi[1] - 200, 8)
+    ])
+    true_px = true_model.field2image(pts)
+    got_px = model.field2image(pts)
+    inside = (
+        (true_px[:, 0] > 0) & (true_px[:, 0] < true_model.size[0])
+        & (true_px[:, 1] > 0) & (true_px[:, 1] < true_model.size[1])
+    )
+    err = np.linalg.norm(true_px[inside] - got_px[inside], axis=-1)
+    assert np.median(err) < 3.0, (
+        f"median reprojection error {np.median(err):.2f} px"
+    )
