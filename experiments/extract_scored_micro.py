@@ -6,6 +6,15 @@ the 540x962 masked score map), a global top_k(8640 -> 2000) with index
 payload, ~5 small gathers, and the count reduction. This isolates each.
 
 Run: python experiments/extract_scored_micro.py
+
+Measured (TPU v5e via relay): row lax.top_k m=16 0.183 ms, row iterative
+argmax 0.106 ms, global top_k/sort/packed variants all at the noise
+floor (<0.03 ms), extract_blobs_scored full 0.272 ms. The isolated row
+win does NOT compose: swapping iter_top_k into extract_blobs_scored
+leaves the sustained 4-camera frame-set neutral-to-worse (4.80-4.83 vs
+4.72-4.79 ms at factor 1.25; 5.54 vs 5.48 at 1.0) — XLA hides the row
+sort under neighbouring stages. Reverted; kept here as the measured
+dead end.
 """
 from __future__ import annotations
 

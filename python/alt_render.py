@@ -264,6 +264,7 @@ def main():
     parser.add_argument("--cams", default=2, type=int)
     parser.add_argument("--frames", default=40, type=int)
     parser.add_argument("--fps", default=30.0, type=float)
+    parser.add_argument("--image_scenes", default=2, type=int)
     parser.add_argument("--seed", default=0, type=int)
     args = parser.parse_args()
 
@@ -359,6 +360,43 @@ def main():
                 json.dump(truth, fh)
         print(f"wrote {video_path} ({args.frames} frames, {n_bots} bots, "
               "independent renderer)")
+
+    # shared single-frame scenes in the multi-camera overlap strip,
+    # rendered through every camera — the cross-camera overlap
+    # benchmark's input (mirrors make_dataset.py's still scenes)
+    for img_idx in range(args.image_scenes):
+        n_bots = int(rng.integers(2, 4))
+        bots = []
+        ids = rng.permutation(16)
+        for i in range(n_bots):
+            bots.append(
+                SceneBot(
+                    bot_id=int(ids[i]),
+                    team="yellow" if i % 2 == 0 else "blue",
+                    x=float(rng.uniform(-200, 200)),
+                    y=float(rng.uniform(-2000, 2000)),
+                    orientation=float(rng.uniform(-3, 3)),
+                )
+            )
+        ball = SceneBall(
+            x=float(rng.uniform(-200, 200)),
+            y=float(rng.uniform(-2000, 2000)),
+        )
+        scene = Scene(bots=bots, balls=[ball], seed=img_idx)
+        for cam_id in range(args.cams):
+            model, _ = make_camera(cam_id, args.cams, field)
+            folder = args.out / args.field_name / f"cam{cam_id}"
+            rgb = alt_render_rgb(model, field, scene)
+            img_path = folder / f"still{img_idx}.png"
+            cv2.imwrite(str(img_path), rgb[..., ::-1])
+            truth = [
+                ground_truth_frame(model, scene, 1, 0.0, cam_id,
+                                   field.ball_radius)
+            ]
+            for suffix in ("vision", "manual"):
+                with img_path.with_suffix(f".{suffix}.json").open("w") as fh:
+                    json.dump(truth, fh)
+            print(f"wrote {img_path} ({n_bots} bots, shared scene)")
 
 
 if __name__ == "__main__":

@@ -359,6 +359,11 @@ def extract_blobs_scored(flat, circ, masked_score, mean, count,
     """
     h, w = masked_score.shape
     m = min(w, max(16, -(-4 * max_blobs // h)))
+    # NOTE: replacing this sort-lowered top_k with m iterative argmax
+    # passes (detector.iter_top_k) wins in isolation (0.106 vs 0.183 ms,
+    # experiments/extract_scored_micro.py) but is NEUTRAL-to-worse in the
+    # full sustained pipeline (4.80 vs 4.77 ms/4-cam frame-set) — XLA
+    # already hides the row sort; measured and reverted.
     row_scores, row_idx = jax.lax.top_k(masked_score, m)
     cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
     top_score, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
