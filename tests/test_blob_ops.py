@@ -169,3 +169,44 @@ def test_radius_helpers():
     assert B.disc_radius(20.0, 5.0) == 4
     assert B.disc_radius(21.5, 5.0) == 4
     assert B.sat_radius(21.5, 5.0) == 5
+
+
+def test_row_saturated_extraction_keeps_all_blobs():
+    """A wall of blobs concentrated on ONE flat-grid row must not be
+    clipped by the two-stage compaction's per-row window while the blob
+    budget is free (the same quiet-cap genre as the detector's anchor
+    window): the occupancy-adaptive cond must route such scenes through
+    the exact flat-map top_k. 30 peaks on one row exceeds the m=16 row
+    window at this shape; before the cond only 26 of 40 survived."""
+    import jax.numpy as jnp
+
+    h, w = 120, 200
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.normal(128, 5, (h, w, 3)).astype(np.float32))
+    circ = np.zeros((h, w), np.float32)
+    xs = np.arange(5, 5 + 30 * 6, 6)
+    circ[60, xs] = 100.0 + np.arange(30)
+    circ[20, np.arange(5, 65, 6)] = 50.0
+
+    out = B.extract_blobs(flat, jnp.asarray(circ), circ_threshold=10.0,
+                          radius=2, max_blobs=256, min_score=0.0)
+    assert int(out["count"]) == 40
+    assert int(out["valid"].sum()) == 40
+    got_x = np.sort(np.asarray(out["pos"])[np.asarray(out["valid"]), 0])
+    assert np.allclose(np.sort(np.concatenate(
+        [xs, np.arange(5, 65, 6)])), np.round(got_x))
+
+    # the score-first (fused-response) path takes the same cond
+    masked, mean, cnt = B.blob_response(flat, jnp.asarray(circ), 10.0, 2)
+    out2 = B.extract_blobs_scored(flat, jnp.asarray(circ), masked, mean,
+                                  cnt, max_blobs=256)
+    assert int(out2["valid"].sum()) == 40
+
+    # sparse scenes stay on the two-stage path and remain exact
+    circ2 = np.zeros((h, w), np.float32)
+    ys = rng.integers(0, h, 60)
+    xs2 = rng.integers(0, w, 60)
+    circ2[ys, xs2] = rng.random(60) * 90 + 10
+    o = B.extract_blobs(flat, jnp.asarray(circ2), 10.0, radius=2,
+                        max_blobs=64, min_score=0.0)
+    assert int(o["valid"].sum()) == int(o["count"])

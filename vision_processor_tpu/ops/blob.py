@@ -215,6 +215,53 @@ def disc_stats_at(flat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     return jnp.sum(v, axis=1), jnp.sum(v * v, axis=1), n
 
 
+def _compact_masked(masked, valid, max_blobs: int):
+    """Exact top-`max_blobs` over a (-inf)-masked response map.
+
+    Fast path: per-row top-m, then global top-k over the h*m survivors —
+    ~4x cheaper than one flat-map top_k (round-2 measurement). m is sized
+    4x above the uniform-spread average, so the row stage is lossless for
+    every scene whose densest row holds <= m candidates; the row stage
+    runs as a Pallas in-VMEM select on TPU (ops/topk.py, lax.top_k
+    elsewhere / via VPTPU_PALLAS_TOPK=0). Exhausted rows repeat index 0,
+    so validity comes from the VALUES, never the indices.
+
+    A row holding MORE than m true winners would silently lose the excess
+    even with budget free (an adversarial wall of robots aligned on one
+    flat row) — the same quiet-cap genre as the detector's anchor window,
+    so the same occupancy-adaptive cure: the row stage keeps ONE probe
+    lane past the window (its value being finite is the exact "some row
+    clipped" indicator — no separate full-map reduce), and a lax.cond
+    routes clipped scenes through the exact flat-map top_k while every
+    realistic scene pays only the probe lane. The reference's own
+    truncation is arbitrary atomic-append order past maxBlobs
+    (kernel/blobList.cl:87-91), so both branches remain strictly stronger
+    than its semantics.
+    """
+    del valid  # the probe lane detects clipping without a map reduce
+    h, w = masked.shape
+    m = min(w, max(16, -(-4 * max_blobs // h)))
+    probe = min(w, m + 1)
+    from .topk import row_topk
+
+    row_scores, row_idx = row_topk(masked, probe)  # (h, probe)
+    cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
+
+    def from_rows(_):
+        vals, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
+        return vals, cand_idx[ci]
+
+    if probe == w:  # row stage degenerate: every row fits entirely
+        return from_rows(None)
+
+    def flat_map(_):
+        vals, idx = jax.lax.top_k(masked.reshape(-1), max_blobs)
+        return vals, idx
+
+    clipped = jnp.any(row_scores[:, m] > -jnp.inf)
+    return jax.lax.cond(clipped, flat_map, from_rows, None)
+
+
 @partial(jax.jit, static_argnames=("radius", "max_blobs"))
 def extract_blobs(
     flat: jnp.ndarray,
@@ -254,23 +301,7 @@ def extract_blobs(
     count = jnp.sum(valid, dtype=jnp.int32)
 
     masked = jnp.where(valid, circ, -jnp.inf)
-    # two-stage compaction: per-row top-m, then global top-k over the
-    # surviving candidates — ~4x cheaper than a single 519k-element top_k.
-    # A row contributing more than m global winners loses the excess; m is
-    # sized 4x above the uniform-spread average, and the reference itself
-    # truncates arbitrarily past maxBlobs (kernel/blobList.cl:87-91
-    # atomic-append order), so the bound is strictly stronger than the
-    # reference's semantics for any scene the row cap does not clip.
-    # The row stage runs as a Pallas in-VMEM select on TPU (ops/topk.py,
-    # lax.top_k elsewhere/via VPTPU_PALLAS_TOPK=0); exhausted rows repeat
-    # index 0, so validity comes from the VALUES below, never the indices.
-    m = min(w, max(16, -(-4 * max_blobs // h)))
-    from .topk import row_topk
-
-    row_scores, row_idx = row_topk(masked, m)  # (h, m)
-    cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
-    top_circ, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
-    idx = cand_idx[ci]
+    top_circ, idx = _compact_masked(masked, valid, max_blobs)
     slot_valid = top_circ > -jnp.inf
 
     iy = idx // w
@@ -358,16 +389,14 @@ def extract_blobs_scored(flat, circ, masked_score, mean, count,
     center, circ+neighbors for the sub-pixel peak).
     """
     h, w = masked_score.shape
-    m = min(w, max(16, -(-4 * max_blobs // h)))
-    # NOTE: replacing this sort-lowered top_k with m iterative argmax
-    # passes (detector.iter_top_k) wins in isolation (0.106 vs 0.183 ms,
-    # experiments/extract_scored_micro.py) but is NEUTRAL-to-worse in the
-    # full sustained pipeline (4.80 vs 4.77 ms/4-cam frame-set) — XLA
-    # already hides the row sort; measured and reverted.
-    row_scores, row_idx = jax.lax.top_k(masked_score, m)
-    cand_idx = (row_idx + (jnp.arange(h) * w)[:, None]).reshape(-1)
-    top_score, ci = jax.lax.top_k(row_scores.reshape(-1), max_blobs)
-    idx = cand_idx[ci]
+    # NOTE: replacing the row-stage sort-lowered top_k with m iterative
+    # argmax passes (detector.iter_top_k) wins in isolation (0.106 vs
+    # 0.183 ms, experiments/extract_scored_micro.py) but is
+    # NEUTRAL-to-worse in the full sustained pipeline (4.80 vs 4.77 ms
+    # per 4-cam frame-set) — XLA already hides the row sort; measured
+    # and reverted.
+    top_score, idx = _compact_masked(
+        masked_score, masked_score > -jnp.inf, max_blobs)
     slot_valid = top_score > -jnp.inf
 
     iy = idx // w
