@@ -313,3 +313,43 @@ def test_processor_apply_tunables():
     proc.apply_tunables()
     np.testing.assert_array_equal(proc.colors.orange_ref, [11, 22, 33])
     assert proc.colors.reference_force == 0.25
+
+
+def test_vision_socket_survives_malformed_packets(divb_field):
+    """The receiver thread must outlive garbage datagrams (reference
+    udpsocket.cpp's parser is similarly fire-and-forget): a malformed
+    packet is logged and dropped, and the next valid geometry packet is
+    still absorbed."""
+    import time as _time
+
+    from vision_processor_tpu.net.udp import UDPSocket, VisionSocket
+
+    group, port = "224.99.99.61", 18061
+    rx = VisionSocket(group, port, 0, 150.0)
+    tx = UDPSocket.__new__(UDPSocket)  # bare sender on the same group
+    UDPSocket.__init__(tx, group, port)
+    try:
+        for payload in (b"\x00", b"not-a-proto" * 50, b"\xff" * 2048):
+            tx.sock.sendto(payload, (group, port))
+        _time.sleep(0.3)
+        assert rx.geometry_version == 0
+
+        wrapper_bytes = None
+        from vision_processor_tpu.proto import SSL_WrapperPacket
+
+        wrapper = SSL_WrapperPacket()
+        wrapper.geometry.CopyFrom(divb_field.geometry)
+        wrapper_bytes = wrapper.SerializeToString()
+        tx.sock.sendto(wrapper_bytes, (group, port))
+        deadline = _time.time() + 3.0
+        while _time.time() < deadline:
+            rx.geometry_check()
+            if rx.geometry_version:
+                break
+            _time.sleep(0.05)
+        assert rx.geometry_version == 1, (
+            "receiver thread died on malformed input"
+        )
+    finally:
+        rx.close()
+        tx.close()
