@@ -49,6 +49,9 @@ from make_dataset import (
 )
 from visionsocket import VisionSocket  # noqa: F401  (path bootstrap)
 from vision_processor_tpu.io.synthetic import Scene, SceneBall, SceneBot
+from vision_processor_tpu.models.camera import (
+    visible_field_extent_estimation,
+)
 from vision_processor_tpu.models.pattern import (
     CENTER_BLOB_RADIUS,
     PATTERNS,
@@ -312,9 +315,34 @@ def main():
         cv2.imwrite(str(folder / "field.png"), empty[..., ::-1])
 
         (folder / "ssl-vision-config").mkdir(exist_ok=True)
+        # calibration inputs the reference requires operators to measure by
+        # hand (extent corner pixels, mount height) come from the true model,
+        # like make_dataset.py — so geometry_record.py runs on this footage
+        lo_nb, hi_nb = visible_field_extent_estimation(
+            cam_id, args.cams, field, False
+        )
+        corners = [
+            [lo_nb[0], lo_nb[1]], [lo_nb[0], hi_nb[1]],
+            [hi_nb[0], hi_nb[1]], [hi_nb[0], lo_nb[1]],
+        ]
+        corner_px = [
+            [float(v)
+             for v in model.field2image(np.array([c[0], c[1], 0.0]))]
+            for c in corners
+        ]
         (folder / "ssl-vision-config" / "config.yml").write_text(
-            yaml.dump({"cam_id": cam_id, "camera": {"driver": "OPENCV"}},
-                      sort_keys=False)
+            yaml.dump(
+                {
+                    "cam_id": cam_id,
+                    "camera": {"driver": "OPENCV"},
+                    "geometry": {
+                        "camera_amount": args.cams,
+                        "camera_height": float(model.pos[2]),
+                        "line_corners": corner_px,
+                    },
+                },
+                sort_keys=False,
+            )
         )
 
         n_bots = int(rng.integers(2, 5))
