@@ -223,3 +223,99 @@ def test_alt_field_autocalibration(alt_dataset):
     assert np.median(err) < 3.0, (
         f"median reprojection error {np.median(err):.2f} px"
     )
+
+
+def test_multicam_app_on_alt_footage(alt_dataset, tmp_path):
+    """Production multi-camera mode (one process, one batched XLA program,
+    per-camera tunables) over the independent renderer's file footage —
+    the two production modes exercised together on pixels neither has
+    seen. Ground-truth recall per camera, not just 'something detected'."""
+    import subprocess
+
+    group, port = "224.99.99.97", 18051
+
+    configs, truths = [], {}
+    for cam in range(2):
+        folder = alt_dataset / "altsynth" / f"cam{cam}"
+        cfg = yaml.safe_load(
+            (folder / "ssl-vision-config" / "config.yml").read_text())
+        cfg["camera"]["path"] = str(folder / "scene0.mp4")
+        cfg["network"] = {"vision_ip": group, "vision_port": port,
+                          "gc_ip": "224.99.99.98", "gc_port": 18052}
+        cfg["stream"] = {"active": False}
+        cfg["debug"] = {"wait_for_geometry": True}
+        cfg["thresholds"] = {"blobs": 128, "circularity": 15.0}
+        cfg_file = tmp_path / f"mc_config{cam}.yml"
+        cfg_file.write_text(yaml.dump(cfg))
+        configs.append(cfg_file)
+        truths[cam] = json.loads(
+            (folder / "scene0.manual.json").read_text())
+
+    from vision_processor_tpu.net.geometry_io import load_geometry
+    from vision_processor_tpu.net.udp import UDPSocket
+    from vision_processor_tpu.proto import SSL_WrapperPacket
+
+    merged = load_geometry(alt_dataset / "altsynth" / "cam0" / "geometry.yml")
+    other = load_geometry(alt_dataset / "altsynth" / "cam1" / "geometry.yml")
+    merged.geometry.calib.append(other.geometry.calib[0])
+
+    class Bus(UDPSocket):
+        def __init__(self, *a):
+            self.detections = []
+            super().__init__(*a)
+
+        def _parse(self, data):
+            wrapper = SSL_WrapperPacket()
+            wrapper.ParseFromString(data)
+            if wrapper.HasField("detection"):
+                self.detections.append(wrapper.detection)
+
+    bus = Bus(group, port)
+    stop = threading.Event()
+
+    def publish():
+        while not stop.is_set():
+            bus.send(merged)
+            time.sleep(0.1)
+
+    threading.Thread(target=publish, daemon=True).start()
+
+    env = {**os.environ, "PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu"}
+    app_log = tmp_path / "mc_app.log"
+    with open(app_log, "w") as log_fh:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vision_processor_tpu.app.main",
+             str(configs[0]), str(configs[1])],
+            env=env, cwd=str(REPO),
+            stdout=log_fh, stderr=subprocess.STDOUT,
+        )
+        try:
+            rc = proc.wait(timeout=900)
+            time.sleep(0.5)
+        finally:
+            stop.set()
+            if proc.poll() is None:
+                proc.kill()
+            bus.close()
+    assert rc == 0, f"rc={rc}; log tail: {app_log.read_text()[-2000:]}"
+
+    by_cam = {}
+    for det in bus.detections:
+        by_cam.setdefault(det.camera_id, []).append(det)
+    assert set(by_cam) == {0, 1}, f"cams seen: {set(by_cam)}"
+
+    for cam, dets in by_cam.items():
+        assert len(dets) == 6, f"cam {cam}: {len(dets)}/6 frames"
+        found, total = 0, 0
+        for det in dets:
+            gt = truths[cam][det.frame_number - 1]
+            gt_ids = [b["robot_id"] for b in gt.get("robots_yellow", [])]
+            gt_ids += [b["robot_id"] + 16
+                       for b in gt.get("robots_blue", [])]
+            got = [r.robot_id for r in det.robots_yellow]
+            got += [r.robot_id + 16 for r in det.robots_blue]
+            total += len(gt_ids)
+            found += sum(1 for rid in gt_ids if rid in got)
+        assert found / max(total, 1) >= 0.9, (
+            f"cam {cam}: multicam recall {found}/{total}"
+        )
