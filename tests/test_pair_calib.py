@@ -128,3 +128,163 @@ def test_pair_calibration_rejects_empty():
     field = _field()
     wrong = [_wrong_guess(m, 3600.0) for m in _true_models(field)]
     assert height_from_shared_objects(wrong, []) is None
+
+
+def test_multicam_app_pair_height_refinement(tmp_path):
+    """Production integration of the pair solver (reference config.yml
+    `camera_height: 0.0` = automated height calibration, extended to the
+    nadir-degenerate case): MultiCamApp accumulates dual-view robot
+    observations from the overlap region, solves the rig height, and
+    re-broadcasts plane-consistent refined calibs. The published calibs
+    start on the ambiguity manifold at a 20% WRONG height; the app must
+    broadcast corrected ones near the true height."""
+    import os
+    import threading
+    import time
+
+    from vision_processor_tpu.app.multicam_app import MultiCamApp
+    from vision_processor_tpu.io.camera import (
+        SyntheticDriver,
+        register_driver,
+    )
+    from vision_processor_tpu.io.synthetic import Scene, SceneBot
+    from vision_processor_tpu.net.udp import UDPSocket
+    from vision_processor_tpu.proto import SSL_WrapperPacket
+
+    field = _field()
+    group, port = "224.99.99.75", 18291
+    n_cams = 2
+
+    true_models = [
+        CameraModel.initial_guess(
+            np.array([960, 720]), cam_id, n_cams, TRUE_H, field
+        )
+        for cam_id in range(n_cams)
+    ]
+
+    # published calibs: plane-consistent WRONG height (0.8x) — the exact
+    # manifold a degenerate single-camera height fit can land on
+    wrong_models = []
+    for m in true_models:
+        w = CameraModel(
+            focal_length=m.focal_length * 0.8,
+            principal_point=m.principal_point.copy(),
+            distortion_k2=m.distortion_k2,
+            pos=np.array([m.pos[0], m.pos[1], m.pos[2] * 0.8]),
+            quat=m.quat.copy(),
+            size=m.size.copy(),
+        )
+        wrong_models.append(w)
+
+    # one shared robot in the ~800 mm overlap strip, one private per cam
+    shared = SceneBot(7, "yellow", 0.0, 300.0, 0.5)
+    scenes = [
+        Scene(bots=[shared,
+                    SceneBot(3, "blue", float(true_models[0].pos[0]),
+                             -500.0, 1.2)],
+              balls=[], noise_sigma=1.0),
+        Scene(bots=[shared,
+                    SceneBot(9, "blue", float(true_models[1].pos[0]),
+                             600.0, -0.7)],
+              balls=[], noise_sigma=1.0),
+    ]
+
+    def factory(cam_cfg):
+        c = int(cam_cfg.path or 0)
+        return SyntheticDriver(
+            true_models[c], field, scenes[c], fmt="RGGB", fps=100.0,
+            frames=14,
+        )
+
+    register_driver("SYNTHETIC_PAIRH", factory)
+
+    cfg_paths = []
+    for cam_id in range(n_cams):
+        config = {
+            "cam_id": cam_id,
+            "bot_heights_file": str(tmp_path / "none.yml"),
+            "camera": {"driver": "SYNTHETIC_PAIRH", "path": str(cam_id)},
+            # camera_height 0.0 = automated height calibration
+            "geometry": {"camera_amount": n_cams, "camera_height": 0.0},
+            "network": {
+                "vision_ip": group, "vision_port": port,
+                "gc_ip": "224.99.99.76", "gc_port": 18292,
+            },
+            "stream": {"active": False},
+            "debug": {"wait_for_geometry": True},
+            "thresholds": {"blobs": 128},
+        }
+        p = tmp_path / f"config{cam_id}.yml"
+        p.write_text(yaml_dump(config))
+        cfg_paths.append(str(p))
+
+    wrapper = SSL_WrapperPacket()
+    wrapper.geometry.field.CopyFrom(field)
+    for cam_id, w in enumerate(wrong_models):
+        wrapper.geometry.calib.append(w.to_proto(cam_id))
+
+    refined_calibs = []
+
+    class Publisher(UDPSocket):
+        def _parse(self, data):
+            got = SSL_WrapperPacket()
+            got.ParseFromString(data)
+            if got.HasField("geometry") and len(got.geometry.calib):
+                # absorb calib broadcasts like geom_publisher.py
+                for calib in got.geometry.calib:
+                    refined_calibs.append(calib)
+                    for mine in wrapper.geometry.calib:
+                        if mine.camera_id == calib.camera_id:
+                            mine.CopyFrom(calib)
+                            break
+
+    publisher_sock = Publisher(group, port)
+    stop = threading.Event()
+
+    def publish():
+        while not stop.is_set():
+            publisher_sock.send(wrapper)
+            time.sleep(0.05)
+
+    thread = threading.Thread(target=publish, daemon=True)
+    thread.start()
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        app = MultiCamApp(cfg_paths)
+        assert app._pair_height_active
+        app._height_obs_target = 8
+        app.run()
+        time.sleep(0.3)
+    finally:
+        os.chdir(cwd)
+        stop.set()
+        thread.join()
+        publisher_sock.close()
+
+    assert refined_calibs, "no refined calibration was broadcast"
+    by_cam = {}
+    for c in refined_calibs:
+        by_cam[c.camera_id] = c  # keep the last per camera
+    assert set(by_cam) == {0, 1}
+    for cam_id, calib in by_cam.items():
+        got = CameraModel.from_proto(calib)
+        assert abs(got.pos[2] - TRUE_H) < 0.05 * TRUE_H, (
+            f"cam {cam_id}: refined height {got.pos[2]:.0f} "
+            f"vs true {TRUE_H:.0f}"
+        )
+        # plane-consistency: z=0 projections match the wrong model's
+        # (the refinement moves along the ambiguity manifold)
+        w = wrong_models[cam_id]
+        pts = np.array([[w.pos[0], w.pos[1], 0.0],
+                        [w.pos[0] - 700.0, w.pos[1] + 400.0, 0.0]])
+        err = np.linalg.norm(
+            got.field2image(pts) - w.field2image(pts), axis=-1)
+        assert np.max(err) < 2.0, err
+
+
+def yaml_dump(obj):
+    import yaml
+
+    return yaml.dump(obj)

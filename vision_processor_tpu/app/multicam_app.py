@@ -69,6 +69,20 @@ class MultiCamApp:
         self._pool = ThreadPoolExecutor(self.n_cams)
         self.running = True
 
+        # automated rig-height calibration (reference config.yml:
+        # `camera_height: 0.0` = calibrate the height; the single-camera
+        # branch is degenerate for near-nadir views, reference
+        # GeomModel.cpp:585). With >=2 cameras the pair solver breaks the
+        # ambiguity from dual-view robot observations in the overlap
+        # region (calib/pair.py); one-shot, then the refined calibs are
+        # re-broadcast like any other calibration.
+        self._pair_height_active = (
+            self.n_cams >= 2
+            and any(c.camera_height == 0.0 for c in self.configs)
+        )
+        self._height_obs: list = []
+        self._height_obs_target = 32
+
         if cfg0.wait_for_geometry:
             log.info("Waiting for geometry on %d sockets...", self.n_cams)
             while any(s.geometry_version == 0 for s in self.sockets):
@@ -303,6 +317,59 @@ class MultiCamApp:
             wrapper.geometry.calib.append(model.to_proto(cfg.cam_id))
             sock.send(wrapper)
 
+    def _accumulate_height_obs(self, wrappers) -> None:
+        """Dual-view robot observations for the pair height solver. The
+        emitted field positions were unprojected at the robot height, so
+        field2image at that height recovers the exact center pixels."""
+        from ..calib.pair import observations_from_detections
+
+        dets = {}
+        for c, wrapper in enumerate(wrappers):
+            det = wrapper.detection
+            model = self.processors[c].perspective.model
+            entries = []
+            for team_off, robots in ((0, det.robots_yellow),
+                                     (16, det.robots_blue)):
+                for r in robots:
+                    px = model.field2image(
+                        np.array([r.x, r.y, r.height], dtype=float)
+                    )
+                    entries.append(
+                        (int(r.robot_id) + team_off, px, float(r.height))
+                    )
+            dets[c] = entries
+        models = [p.perspective.model for p in self.processors]
+        self._height_obs += observations_from_detections(dets, models)
+
+    def _refine_rig_height(self) -> None:
+        """One-shot: solve the rig height, move every camera along its
+        plane-consistent manifold, broadcast the refined calibs (the
+        geometry publisher absorbs them, like initial auto-calibration)."""
+        from copy import deepcopy
+
+        from ..calib.pair import apply_height, height_from_shared_objects
+        from ..proto import SSL_SOURCE_VISION_PROCESSOR, SSL_WrapperPacket
+
+        self._pair_height_active = False
+        models = [p.perspective.model for p in self.processors]
+        h = height_from_shared_objects(models, self._height_obs)
+        self._height_obs.clear()
+        if h is None:
+            log.warning("pair height calibration found no solution; "
+                        "keeping current calibrations")
+            return
+        refined = [deepcopy(m) for m in models]
+        apply_height(refined, h)
+        for cfg, sock, model in zip(self.configs, self.sockets, refined):
+            wrapper = SSL_WrapperPacket()
+            wrapper.source = SSL_SOURCE_VISION_PROCESSOR
+            wrapper.geometry.CopyFrom(sock.geometry)
+            wrapper.geometry.ClearField("calib")
+            wrapper.geometry.calib.append(model.to_proto(cfg.cam_id))
+            sock.send(wrapper)
+        log.info("pair height calibration applied: rig height %.0f mm "
+                 "broadcast for %d cameras", h, self.n_cams)
+
     def run(self):
         frame_id = 0
         while self.running:
@@ -329,6 +396,10 @@ class MultiCamApp:
                 # uncalibrated camera, reference src/main.cpp:404-406)
                 self._calibrate_uncalibrated(frames)
                 continue
+            if self._pair_height_active:
+                self._accumulate_height_obs(out)
+                if len(self._height_obs) >= self._height_obs_target:
+                    self._refine_rig_height()
             processing = get_real_time() - real_start
             budget = self.cameras[0].expected_frametime()
             if budget and processing > budget:
