@@ -83,6 +83,18 @@ class MultiCamApp:
         self._height_obs: list = []
         self._height_obs_target = 32
 
+        # one-frame device/host overlap, same contract as the
+        # single-camera App: dispatch frame-set n+1 before finishing n on
+        # the host (detections ship one frame later; with the in-graph
+        # finisher the per-camera color chain is device-carried, so color
+        # evolution keeps exact serial semantics). VPTPU_PIPELINE=0
+        # restores the reference's frame-serial loop.
+        import os
+
+        self.pipeline = os.environ.get("VPTPU_PIPELINE", "1") != "0"
+        self._pending = None
+        self._colors_dev = None
+
         if cfg0.wait_for_geometry:
             log.info("Waiting for geometry on %d sockets...", self.n_cams)
             while any(s.geometry_version == 0 for s in self.sockets):
@@ -233,8 +245,9 @@ class MultiCamApp:
             )
         return out
 
-    def step_frames(self, frames, now: float):
-        """One batched device step + per-camera host finishing."""
+    def dispatch_frames(self, frames, now: float):
+        """Dispatch one batched device step (async). Returns the device
+        output handles, or None while any camera is uncalibrated."""
         jnp = self._jax.numpy
         fmt = frames[0].fmt
         raws = np.stack([f.data for f in frames])
@@ -248,6 +261,11 @@ class MultiCamApp:
             self.processors[0].det_cfg.max_tracked,
         )
         if self._marks is not None:
+            # device-carried batched color chain (the batched analogue of
+            # Processor._colors_dev): pipelined dispatch keeps exact
+            # serial color-evolution semantics
+            if self._colors_dev is not None:
+                colors = self._colors_dev
             refs = jnp.asarray(
                 np.stack([p.colors.packed_refs() for p in self.processors])
             )
@@ -256,16 +274,22 @@ class MultiCamApp:
                 tracked.as_dict(), self._fleet_params(), grids,
                 refs, self._marks,
             )
+            self._colors_dev = fin["colors7"]
         else:
             fin = None
             blobs, det = self._step(
                 jnp.asarray(raws), packed, scales, offsets, colors,
                 tracked.as_dict(), self._fleet_params(), grids,
             )
+        return blobs, det, fin
 
-        # per-camera host finishing is independent (separate Processor
-        # state, separate sockets) — fan it out on the reader pool; with
-        # the in-graph finisher it is protobuf assembly only
+    def finish_frames(self, out, now: float, frames):
+        """Per-camera host finishing for one dispatched frame-set —
+        independent per camera (separate Processor state, separate
+        sockets), fanned out on the reader pool; with the in-graph
+        finisher it is protobuf assembly only."""
+        blobs, det, fin = out
+
         def finish_one(c):
             proc = self.processors[c]
             if fin is not None:
@@ -288,6 +312,13 @@ class MultiCamApp:
             return wrapper
 
         return list(self._pool.map(finish_one, range(self.n_cams)))
+
+    def step_frames(self, frames, now: float):
+        """One frame-serial batched step (dispatch + finish)."""
+        out = self.dispatch_frames(frames, now)
+        if out is None:
+            return None
+        return self.finish_frames(out, now, frames)
 
     def _calibrate_uncalibrated(self, frames) -> None:
         """Auto-calibrate every camera that has field geometry but no calib
@@ -370,6 +401,14 @@ class MultiCamApp:
         log.info("pair height calibration applied: rig height %.0f mm "
                  "broadcast for %d cameras", h, self.n_cams)
 
+    def _finish_pending(self):
+        """Finish the in-flight frame-set, if any; returns its wrappers."""
+        if self._pending is None:
+            return None
+        out, fnow, fframes = self._pending
+        self._pending = None
+        return self.finish_frames(out, fnow, fframes)
+
     def run(self):
         frame_id = 0
         while self.running:
@@ -385,19 +424,27 @@ class MultiCamApp:
             for proc, frame in zip(self.processors, frames):
                 proc.geometry_check(frame.width, frame.height)
             try:
-                out = self.step_frames(frames, now)
+                out = self.dispatch_frames(frames, now)
+                if out is None:
+                    # some camera is uncalibrated: finish any in-flight
+                    # set, then bootstrap with the single-camera
+                    # auto-calibration path instead of stalling (the
+                    # reference's per-process loop calibrates any
+                    # uncalibrated camera, reference src/main.cpp:404-406)
+                    self._finish_pending()
+                    self._calibrate_uncalibrated(frames)
+                    continue
+                if self.pipeline:
+                    wrappers = self._finish_pending()
+                    self._pending = (out, now, frames)
+                else:
+                    wrappers = self.finish_frames(out, now, frames)
             except Exception:
                 log.exception("frame set %d failed, continuing", frame_id)
+                self._pending = None
                 continue
-            if out is None:
-                # some camera is uncalibrated: bootstrap it with the
-                # single-camera auto-calibration path instead of stalling
-                # (the reference's per-process loop calibrates any
-                # uncalibrated camera, reference src/main.cpp:404-406)
-                self._calibrate_uncalibrated(frames)
-                continue
-            if self._pair_height_active:
-                self._accumulate_height_obs(out)
+            if wrappers is not None and self._pair_height_active:
+                self._accumulate_height_obs(wrappers)
                 if len(self._height_obs) >= self._height_obs_target:
                     self._refine_rig_height()
             processing = get_real_time() - real_start
@@ -405,6 +452,10 @@ class MultiCamApp:
             if budget and processing > budget:
                 log.info("frame time overrun: %.1f ms for %d cameras",
                          processing * 1e3, self.n_cams)
+        try:
+            self._finish_pending()
+        except Exception:
+            log.exception("final pending frame set failed")
         log.info("Stopping multi-camera vision_processor")
         self.close()
 
