@@ -43,7 +43,8 @@ def test_multicam_app_two_cameras(tmp_path):
         cfg["network"] = {"vision_ip": group, "vision_port": port,
                           "gc_ip": "224.99.99.72", "gc_port": 17992}
         cfg["stream"] = {"active": False}
-        cfg["debug"] = {"wait_for_geometry": True}
+        cfg["debug"] = {"wait_for_geometry": True,
+                        "debug_stream_interval_ms": 1}
         cfg["thresholds"] = {"blobs": 128}
         cfg_file.write_text(yaml.dump(cfg))
         configs.append(cfg_file)
@@ -85,7 +86,7 @@ def test_multicam_app_two_cameras(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "-m", "vision_processor_tpu.app.main",
          str(configs[0]), str(configs[1])],
-        env=env, cwd=str(REPO),
+        env=env, cwd=str(tmp_path),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     try:
@@ -112,3 +113,9 @@ def test_multicam_app_two_cameras(tmp_path):
     # frame numbers advance per camera independently
     for cam, dets in by_cam.items():
         assert [d.frame_number for d in dets] == [1, 2, 3, 4]
+
+    # the round-robin debug side channel wrote snapshots for both cameras
+    for cam in (0, 1):
+        raw = tmp_path / "img" / f"{cam}.raw.jpg"
+        assert raw.exists(), f"missing snapshot {raw}"
+        assert raw.read_bytes()[:2] == b"\xff\xd8"

@@ -23,6 +23,8 @@ import numpy as np
 import yaml
 
 from ..io.camera import open_camera
+from ..io.rtp import RTPStreamer
+from ..io.snapshot import SnapshotWriter
 from ..net.udp import GCSocket, VisionSocket, get_real_time
 from ..parallel.multicam import MultiCamConfig, batched_step_host_tracked
 from ..models.detector import DetectorConfig
@@ -63,6 +65,16 @@ class MultiCamApp:
             Processor(c, s, self.gc_socket)
             for c, s in zip(self.configs, self.sockets)
         ]
+        # per-camera debug streams + one snapshot writer, like the
+        # reference's per-process RTP/snapshot side channels; the batched
+        # loop feeds them round-robin (one camera's views per frame-set),
+        # so an N-camera rig streams each camera at frame_rate/N
+        self.streamers = [
+            RTPStreamer(c.stream_active, c.stream_url(), qp=c.stream_qp)
+            for c in self.configs
+        ]
+        self.snapshots = SnapshotWriter()
+        self._last_snapshot = [0.0] * self.n_cams
         self._jax = jax
         self._step = None
         self._geom_key = None
@@ -163,6 +175,14 @@ class MultiCamApp:
         self.mc_cfg = MultiCamConfig(bm=bm, det=det, n_cams=self.n_cams)
         self._step = batched_step_host_tracked(self.mc_cfg)
         self._geom_key = key
+        # per-camera configs for the debug-view renderer (each camera's own
+        # flat shape; compiled lazily on the first stream/snapshot request)
+        for proc in self.processors:
+            proc._bm_cfg = BlobMachineConfig.from_perspective(
+                proc.perspective, fmt, tuple(raw_shape),
+                max_blobs=bm.max_blobs,
+            )
+            proc._debug_fn = None
         log.info("Compiled %d-camera pipeline: raw=%s flat=%s max_blobs=%d",
                  self.n_cams, raw_shape, bm.flat_shape, bm.max_blobs)
         return True
@@ -401,6 +421,41 @@ class MultiCamApp:
         log.info("pair height calibration applied: rig height %.0f mm "
                  "broadcast for %d cameras", h, self.n_cams)
 
+    def _stream_and_snapshot(self, frames, frame_id: int, real_start: float):
+        """Debug stream + snapshots, round-robin one camera per frame-set
+        (reference src/main.cpp:377-403 per-process behavior adapted to
+        the batched loop: each camera streams at frame_rate / n_cams)."""
+        c = frame_id % self.n_cams
+        cfg = self.configs[c]
+        streamer = self.streamers[c]
+        want_stream = streamer.active
+        want_snapshot = (
+            cfg.debug_stream_interval_ms > 0
+            and (real_start - self._last_snapshot[c]) * 1e3
+            >= cfg.debug_stream_interval_ms
+        )
+        if not (want_stream or want_snapshot):
+            return
+        proc = self.processors[c]
+        if proc._bm_cfg is None:
+            return
+        out = proc.debug_views(frames[c].data, frames[c].fmt)
+        if want_stream:
+            if cfg.raw_feed:
+                view = out["raw_rgb"]
+            else:
+                views = ["raw_rgb", "flat_rgb", "grad_rgb", "circ_rgb"]
+                idx = int(self.cameras[c].get_time() / 20.0) % 4
+                view = out[views[idx]]
+            streamer.send_frame(view)
+        if want_snapshot:
+            prefix = f"img/{cfg.cam_id}."
+            self.snapshots.offer(out["raw_rgb"], prefix + "raw.jpg")
+            self.snapshots.offer(out["flat_rgb"], prefix + "flat.jpg")
+            self.snapshots.offer(out["grad_rgb"], prefix + "gradient.jpg")
+            self.snapshots.offer(out["circ_rgb"], prefix + "blob.jpg")
+            self._last_snapshot[c] = real_start
+
     def _finish_pending(self):
         """Finish the in-flight frame-set, if any; returns its wrappers."""
         if self._pending is None:
@@ -447,6 +502,10 @@ class MultiCamApp:
                 self._accumulate_height_obs(wrappers)
                 if len(self._height_obs) >= self._height_obs_target:
                     self._refine_rig_height()
+            try:
+                self._stream_and_snapshot(frames, frame_id, real_start)
+            except Exception:
+                log.exception("debug stream failed, continuing")
             processing = get_real_time() - real_start
             budget = self.cameras[0].expected_frametime()
             if budget and processing > budget:
@@ -461,6 +520,9 @@ class MultiCamApp:
 
     def close(self):
         self._pool.shutdown(wait=False)
+        for st in self.streamers:
+            st.close()
+        self.snapshots.close()
         for s in self.sockets:
             s.close()
         self.gc_socket.close()
