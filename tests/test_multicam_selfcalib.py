@@ -166,3 +166,65 @@ def test_multicam_app_self_calibrates(tmp_path, divb_field):
     assert last0.robots_yellow[0].robot_id == 4
     assert len(last1.robots_blue) == 1
     assert last1.robots_blue[0].robot_id == 11
+
+
+def test_multicam_app_idle_streams_raw(tmp_path, divb_field):
+    """No geometry on the bus at all: the batched app must not stall or
+    crash — each frame-set it renders one camera's raw demosaic for the
+    debug side channel (the single-camera App's idle path) so the
+    operator can aim the cameras."""
+    from vision_processor_tpu.app.multicam_app import MultiCamApp
+    from vision_processor_tpu.io.camera import SyntheticDriver, register_driver
+    from vision_processor_tpu.io.synthetic import Scene
+    from vision_processor_tpu.models.camera import CameraModel
+
+    field = divb_field.geometry.field
+    model = CameraModel(
+        focal_length=900.0,
+        principal_point=np.array([480.0, 270.0]),
+        distortion_k2=0.0,
+        pos=np.array([-2250.0, 0.0, 4500.0]),
+        size=np.array([960, 540]),
+    )
+
+    def factory(cam_cfg):
+        return SyntheticDriver(
+            model, field, Scene(bots=[], balls=[], noise_sigma=1.0),
+            fmt="RGGB", fps=100.0, frames=4,
+        )
+
+    register_driver("SYNTHETIC_IDLE", factory)
+
+    cfg_paths = []
+    for cam_id in range(2):
+        config = {
+            "cam_id": cam_id,
+            "bot_heights_file": str(tmp_path / "none.yml"),
+            "camera": {"driver": "SYNTHETIC_IDLE"},
+            "network": {
+                "vision_ip": "224.99.99.77", "vision_port": 18293,
+                "gc_ip": "224.99.99.78", "gc_port": 18294,
+            },
+            "stream": {"active": False},
+            # no geometry section, wait_for_geometry off -> idle path
+            "debug": {"wait_for_geometry": False,
+                      "debug_stream_interval_ms": 1},
+            "thresholds": {"blobs": 128},
+        }
+        p = tmp_path / f"config{cam_id}.yml"
+        p.write_text(yaml.dump(config))
+        cfg_paths.append(str(p))
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        app = MultiCamApp(cfg_paths)
+        app.run()
+        time.sleep(0.3)
+    finally:
+        os.chdir(cwd)
+
+    for cam_id in range(2):
+        raw = tmp_path / "img" / f"{cam_id}.raw.jpg"
+        assert raw.exists(), f"missing idle snapshot {raw}"
+        assert raw.read_bytes()[:2] == b"\xff\xd8"

@@ -456,6 +456,32 @@ class MultiCamApp:
             self.snapshots.offer(out["circ_rgb"], prefix + "blob.jpg")
             self._last_snapshot[c] = real_start
 
+    def _idle_views(self, frames, frame_id: int, real_start: float) -> None:
+        """Before any geometry arrives: stream the raw demosaic so the
+        operator can aim the cameras (single-camera App's idle path),
+        round-robin one camera per frame-set."""
+        import jax.numpy as jnp
+
+        from ..ops.frame import quad2rgba, raw2quad
+
+        c = frame_id % self.n_cams
+        if self.sockets[c].geometry_version:
+            return
+        cfg = self.configs[c]
+        if not (self.streamers[c].active
+                or cfg.debug_stream_interval_ms > 0):
+            return
+        planes = raw2quad(jnp.asarray(frames[c].data), frames[c].fmt)
+        rgb = np.asarray(quad2rgba(planes, frames[c].fmt))
+        self.streamers[c].send_frame(rgb.astype(np.uint8))
+        if (
+            cfg.debug_stream_interval_ms > 0
+            and (real_start - self._last_snapshot[c]) * 1e3
+            >= cfg.debug_stream_interval_ms
+        ):
+            self.snapshots.offer(rgb, f"img/{cfg.cam_id}.raw.jpg")
+            self._last_snapshot[c] = real_start
+
     def _finish_pending(self):
         """Finish the in-flight frame-set, if any; returns its wrappers."""
         if self._pending is None:
@@ -485,9 +511,12 @@ class MultiCamApp:
                     # set, then bootstrap with the single-camera
                     # auto-calibration path instead of stalling (the
                     # reference's per-process loop calibrates any
-                    # uncalibrated camera, reference src/main.cpp:404-406)
+                    # uncalibrated camera, reference src/main.cpp:404-406);
+                    # cameras with no geometry at all stream their raw
+                    # view so the operator can aim them
                     self._finish_pending()
                     self._calibrate_uncalibrated(frames)
+                    self._idle_views(frames, frame_id, real_start)
                     continue
                 if self.pipeline:
                     wrappers = self._finish_pending()
