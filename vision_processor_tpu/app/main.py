@@ -185,56 +185,24 @@ class App:
         self._maybe_snapshot_raw(rgb, real_start)
 
     def _idle_path(self, frame, frame_id, real_start):
-        import jax.numpy as jnp
+        from .debug_io import emit_idle_raw
 
-        from ..ops.frame import quad2rgba, raw2quad
-
-        planes = raw2quad(jnp.asarray(frame.data), frame.fmt)
-        rgb = np.asarray(quad2rgba(planes, frame.fmt))
-        self.streamer.send_frame(rgb.astype(np.uint8))
-        periodic = (
-            self.config.debug_stream_interval_ms > 0
-            and (real_start - self._last_snapshot) * 1e3
-            >= self.config.debug_stream_interval_ms
+        self._last_snapshot = emit_idle_raw(
+            self.streamer, self.snapshots, self.config, frame, real_start,
+            self._last_snapshot, force_snapshot=frame_id == 100,
         )
-        if frame_id == 100 or periodic:
-            self.snapshots.offer(
-                rgb, f"img/{self.config.cam_id}.raw.jpg"
-            )
-            self._last_snapshot = real_start
-            if frame_id == 100:
-                log.info("Saved sample image")
+        if frame_id == 100:
+            log.info("Saved sample image")
 
     # -- debug output -------------------------------------------------------
 
     def _stream_and_snapshot(self, frame, real_start):
-        cfg = self.config
-        want_stream = self.streamer.active
-        want_snapshot = (
-            cfg.debug_stream_interval_ms > 0
-            and (real_start - self._last_snapshot) * 1e3
-            >= cfg.debug_stream_interval_ms
-        )
-        if not (want_stream or want_snapshot):
-            return
+        from .debug_io import emit_debug_views
 
-        out = self.processor.debug_views(frame.data, frame.fmt)
-        if want_stream:
-            if cfg.raw_feed:
-                view = out["raw_rgb"]
-            else:
-                # cycle the 4 debug views every 20 s like the reference
-                views = ["raw_rgb", "flat_rgb", "grad_rgb", "circ_rgb"]
-                idx = int(self.camera.get_time() / 20.0) % 4
-                view = out[views[idx]]
-            self.streamer.send_frame(view)
-        if want_snapshot:
-            prefix = f"img/{cfg.cam_id}."
-            self.snapshots.offer(out["raw_rgb"], prefix + "raw.jpg")
-            self.snapshots.offer(out["flat_rgb"], prefix + "flat.jpg")
-            self.snapshots.offer(out["grad_rgb"], prefix + "gradient.jpg")
-            self.snapshots.offer(out["circ_rgb"], prefix + "blob.jpg")
-            self._last_snapshot = real_start
+        self._last_snapshot = emit_debug_views(
+            self.processor, self.streamer, self.snapshots, self.config,
+            frame, self.camera.get_time(), real_start, self._last_snapshot,
+        )
 
     def _maybe_snapshot_raw(self, rgb, real_start):
         if (

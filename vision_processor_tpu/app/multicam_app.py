@@ -88,9 +88,14 @@ class MultiCamApp:
         # ambiguity from dual-view robot observations in the overlap
         # region (calib/pair.py); one-shot, then the refined calibs are
         # re-broadcast like any other calibration.
+        # gated on an EXPLICIT `camera_height: 0.0` in some config — a
+        # missing geometry section also defaults to 0.0 but is not an
+        # operator request, and force-equalizing a rig whose cameras sit
+        # at genuinely different heights would corrupt good calibrations
         self._pair_height_active = (
             self.n_cams >= 2
-            and any(c.camera_height == 0.0 for c in self.configs)
+            and any(c.camera_height == 0.0 and c.camera_height_set
+                    for c in self.configs)
         )
         self._height_obs: list = []
         self._height_obs_target = 32
@@ -401,14 +406,17 @@ class MultiCamApp:
         from ..calib.pair import apply_height, height_from_shared_objects
         from ..proto import SSL_SOURCE_VISION_PROCESSOR, SSL_WrapperPacket
 
-        self._pair_height_active = False
         models = [p.perspective.model for p in self.processors]
         h = height_from_shared_objects(models, self._height_obs)
         self._height_obs.clear()
         if h is None:
+            # keep collecting: a noisy startup window must not forfeit
+            # the calibration the operator asked for
             log.warning("pair height calibration found no solution; "
-                        "keeping current calibrations")
+                        "keeping current calibrations and retrying with "
+                        "fresh observations")
             return
+        self._pair_height_active = False
         refined = [deepcopy(m) for m in models]
         apply_height(refined, h)
         for cfg, sock, model in zip(self.configs, self.sockets, refined):
@@ -425,44 +433,23 @@ class MultiCamApp:
         """Debug stream + snapshots, round-robin one camera per frame-set
         (reference src/main.cpp:377-403 per-process behavior adapted to
         the batched loop: each camera streams at frame_rate / n_cams)."""
+        from .debug_io import emit_debug_views
+
         c = frame_id % self.n_cams
-        cfg = self.configs[c]
-        streamer = self.streamers[c]
-        want_stream = streamer.active
-        want_snapshot = (
-            cfg.debug_stream_interval_ms > 0
-            and (real_start - self._last_snapshot[c]) * 1e3
-            >= cfg.debug_stream_interval_ms
-        )
-        if not (want_stream or want_snapshot):
-            return
         proc = self.processors[c]
         if proc._bm_cfg is None:
             return
-        out = proc.debug_views(frames[c].data, frames[c].fmt)
-        if want_stream:
-            if cfg.raw_feed:
-                view = out["raw_rgb"]
-            else:
-                views = ["raw_rgb", "flat_rgb", "grad_rgb", "circ_rgb"]
-                idx = int(self.cameras[c].get_time() / 20.0) % 4
-                view = out[views[idx]]
-            streamer.send_frame(view)
-        if want_snapshot:
-            prefix = f"img/{cfg.cam_id}."
-            self.snapshots.offer(out["raw_rgb"], prefix + "raw.jpg")
-            self.snapshots.offer(out["flat_rgb"], prefix + "flat.jpg")
-            self.snapshots.offer(out["grad_rgb"], prefix + "gradient.jpg")
-            self.snapshots.offer(out["circ_rgb"], prefix + "blob.jpg")
-            self._last_snapshot[c] = real_start
+        self._last_snapshot[c] = emit_debug_views(
+            proc, self.streamers[c], self.snapshots, self.configs[c],
+            frames[c], self.cameras[c].get_time(), real_start,
+            self._last_snapshot[c],
+        )
 
     def _idle_views(self, frames, frame_id: int, real_start: float) -> None:
         """Before any geometry arrives: stream the raw demosaic so the
         operator can aim the cameras (single-camera App's idle path),
         round-robin one camera per frame-set."""
-        import jax.numpy as jnp
-
-        from ..ops.frame import quad2rgba, raw2quad
+        from .debug_io import emit_idle_raw
 
         c = frame_id % self.n_cams
         if self.sockets[c].geometry_version:
@@ -471,16 +458,10 @@ class MultiCamApp:
         if not (self.streamers[c].active
                 or cfg.debug_stream_interval_ms > 0):
             return
-        planes = raw2quad(jnp.asarray(frames[c].data), frames[c].fmt)
-        rgb = np.asarray(quad2rgba(planes, frames[c].fmt))
-        self.streamers[c].send_frame(rgb.astype(np.uint8))
-        if (
-            cfg.debug_stream_interval_ms > 0
-            and (real_start - self._last_snapshot[c]) * 1e3
-            >= cfg.debug_stream_interval_ms
-        ):
-            self.snapshots.offer(rgb, f"img/{cfg.cam_id}.raw.jpg")
-            self._last_snapshot[c] = real_start
+        self._last_snapshot[c] = emit_idle_raw(
+            self.streamers[c], self.snapshots, cfg, frames[c], real_start,
+            self._last_snapshot[c],
+        )
 
     def _finish_pending(self):
         """Finish the in-flight frame-set, if any; returns its wrappers."""
@@ -528,9 +509,15 @@ class MultiCamApp:
                 self._pending = None
                 continue
             if wrappers is not None and self._pair_height_active:
-                self._accumulate_height_obs(wrappers)
-                if len(self._height_obs) >= self._height_obs_target:
-                    self._refine_rig_height()
+                try:
+                    self._accumulate_height_obs(wrappers)
+                    if len(self._height_obs) >= self._height_obs_target:
+                        self._refine_rig_height()
+                except Exception:
+                    # a transient send/solver error must not take down
+                    # the N-camera production loop
+                    log.exception("pair height calibration step failed, "
+                                  "continuing")
             try:
                 self._stream_and_snapshot(frames, frame_id, real_start)
             except Exception:

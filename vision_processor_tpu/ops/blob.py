@@ -215,7 +215,7 @@ def disc_stats_at(flat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     return jnp.sum(v, axis=1), jnp.sum(v * v, axis=1), n
 
 
-def _compact_masked(masked, valid, max_blobs: int):
+def _compact_masked(masked, max_blobs: int):
     """Exact top-`max_blobs` over a (-inf)-masked response map.
 
     Fast path: per-row top-m, then global top-k over the h*m survivors —
@@ -238,7 +238,6 @@ def _compact_masked(masked, valid, max_blobs: int):
     (kernel/blobList.cl:87-91), so both branches remain strictly stronger
     than its semantics.
     """
-    del valid  # the probe lane detects clipping without a map reduce
     h, w = masked.shape
     m = min(w, max(16, -(-4 * max_blobs // h)))
     probe = min(w, m + 1)
@@ -301,7 +300,7 @@ def extract_blobs(
     count = jnp.sum(valid, dtype=jnp.int32)
 
     masked = jnp.where(valid, circ, -jnp.inf)
-    top_circ, idx = _compact_masked(masked, valid, max_blobs)
+    top_circ, idx = _compact_masked(masked, max_blobs)
     slot_valid = top_circ > -jnp.inf
 
     iy = idx // w
@@ -395,8 +394,7 @@ def extract_blobs_scored(flat, circ, masked_score, mean, count,
     # NEUTRAL-to-worse in the full sustained pipeline (4.80 vs 4.77 ms
     # per 4-cam frame-set) — XLA already hides the row sort; measured
     # and reverted.
-    top_score, idx = _compact_masked(
-        masked_score, masked_score > -jnp.inf, max_blobs)
+    top_score, idx = _compact_masked(masked_score, max_blobs)
     slot_valid = top_score > -jnp.inf
 
     iy = idx // w

@@ -50,6 +50,11 @@ class VisionConfig:
     # geometry (restart-only)
     camera_amount: int = 1
     camera_height: float = 0.0
+    # True only when the config file's geometry section spells out
+    # camera_height — automated height calibration (the reference's
+    # `camera_height: 0.0` semantics) must be an explicit operator
+    # request, not the dataclass default of a missing section
+    camera_height_set: bool = False
     line_corners: list = dc_field(default_factory=list)
     geometry_refinement: bool = True
     field_line_threshold: int = 5
@@ -162,6 +167,7 @@ class VisionConfig:
         geo = _get(raw, "geometry", {}) or {}
         self.camera_amount = _get(geo, "camera_amount", 1)
         self.camera_height = _get(geo, "camera_height", 0.0)
+        self.camera_height_set = "camera_height" in geo
         self.line_corners = [
             np.asarray(c, dtype=np.float64) for c in _get(geo, "line_corners", [])
         ]
