@@ -239,11 +239,12 @@ def measure_device_sustained(rolls, cfg, raws, packed, scales, offsets,
         compact = out[1]
         return dt
 
-    # median of 3 differencing rounds: a single relay hiccup during either
+    # median of 5 differencing rounds: a single relay hiccup during either
     # scan corrupts one estimate by several ms (occasionally producing
-    # impossible numbers); the median rejects it
+    # impossible numbers); the median rejects it, and 5 rounds keep the
+    # headline's run-to-run spread inside ~±0.05 ms (~±10 fps)
     estimates = []
-    for _ in range(3):
+    for _ in range(5):
         t10 = time_roll(10)
         t50 = time_roll(50)
         estimates.append((t50 - t10) / 40.0)
