@@ -877,10 +877,13 @@ def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 24):
     degenerate assignments or when the split is weaker than half the
     contrast distance. Integer (floor-toward-zero) mean division preserved.
 
-    The iteration cap matches the host kmeans2_batch (24); 4-point inputs
-    converge in a handful of steps, so the extra unrolled iterations are
-    nearly free and keep the in-graph first-pass ids bit-identical to the
-    host recalc even for slow-converging color sets.
+    The iteration cap matches the host kmeans2_batch (24). The fixed point
+    runs as a ``lax.while_loop`` that exits as soon as no row is active —
+    bit-identical to the full 24-round unroll (a frozen row's update is a
+    no-op: centers keep their value, ``ok`` cannot change once ``active``
+    is False) but ~4x fewer sequenced tiny ops in the common case, which
+    matters because this chain is op-dispatch-bound, not FLOP-bound
+    (experiments/finalize_micro.py).
 
     contrast (B, 3), vals (B, 4, 3), c1/c2 (3,) int32. Returns (B, 3) x2.
     """
@@ -912,8 +915,12 @@ def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 24):
     # the host result. The reference's int division is Eigen Vector3i /
     # int = C++ trunc-toward-zero; dRGB values are non-negative so floor
     # == trunc here.
-    active = ok
-    for _ in range(iters):
+    def _cond(carry):
+        it, _c1, _c2, _ok, active = carry
+        return (it < iters) & jnp.any(active)
+
+    def _body(carry):
+        it, c1, c2, ok, active = carry
         d1 = jnp.sum((vals - c1[:, None, :]) ** 2, axis=-1)
         d2 = jnp.sum((vals - c2[:, None, :]) ** 2, axis=-1)
         assign1 = d1 < d2  # (B, 4)
@@ -930,6 +937,11 @@ def _guarded_kmeans2(contrast, vals, c1_init, c2_init, iters: int = 24):
         c1 = jnp.where(active[:, None], new1, c1)
         c2 = jnp.where(active[:, None], new2, c2)
         active = active & ~conv
+        return it + 1, c1, c2, ok, active
+
+    _, c1, c2, ok, _ = jax.lax.while_loop(
+        _cond, _body, (jnp.int32(0), c1, c2, ok, ok)
+    )
 
     split = jnp.sum((c1 - c2) ** 2, axis=-1).astype(jnp.float32)
     weak = split < out_group.astype(jnp.float32) / 4.0

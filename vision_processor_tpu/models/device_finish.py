@@ -118,8 +118,16 @@ def masked_kmeans2(contrast, vals, mask, c1_init, c2_init, iters: int = 24):
     degenerate = jnp.all(c1 == c2)
 
     ok = may_split & ~degenerate
-    active = ok
-    for _ in range(iters):
+
+    # early-exit fixed point: exact vs the full `iters` unroll (an
+    # inactive iteration is a no-op — see detector._guarded_kmeans2), but
+    # ~4x fewer sequenced tiny ops on typical 2-4-round convergence
+    def _cond(carry):
+        it, _c1, _c2, _ok, active = carry
+        return (it < iters) & jnp.any(active)
+
+    def _body(carry):
+        it, c1, c2, ok, active = carry
         d1 = jnp.sum((vals - c1) ** 2, axis=-1)
         d2 = jnp.sum((vals - c2) ** 2, axis=-1)
         assign1 = (d1 < d2) & mask
@@ -137,6 +145,11 @@ def masked_kmeans2(contrast, vals, mask, c1_init, c2_init, iters: int = 24):
         c1 = jnp.where(active, new1, c1)
         c2 = jnp.where(active, new2, c2)
         active = active & ~conv
+        return it + 1, c1, c2, ok, active
+
+    _, c1, c2, ok, _ = jax.lax.while_loop(
+        _cond, _body, (jnp.int32(0), c1, c2, ok, ok)
+    )
 
     split = jnp.sum((c1 - c2) ** 2).astype(jnp.float32)
     ok = ok & (split >= out_group.astype(jnp.float32) / 4.0)
