@@ -1369,6 +1369,311 @@ static void encode_slice(const uint8_t* y, const uint8_t* u, const uint8_t* v,
     }
 }
 
+// ---------------------------------------------------------------------------
+// P slices: zero-motion inter tier (conditional replenishment)
+// ---------------------------------------------------------------------------
+
+// coded_block_pattern me(v) codeNum per cbp value for Inter MB types
+// (Table 9-4, ChromaArrayType 1, inter column).
+static const uint8_t kInterCbpCode[48] = {
+    0,  2,  3,  7,  4,  8,  17, 13, 5,  18, 9,  14, 10, 15, 16, 11,
+    1,  32, 33, 36, 34, 37, 44, 40, 35, 45, 38, 41, 39, 42, 43, 19,
+    6,  24, 25, 20, 26, 21, 46, 28, 27, 47, 22, 29, 23, 30, 31, 12};
+
+// One P slice: MB rows [my0, my1). Every macroblock predicts from the
+// co-located reference MB (motion vector (0,0), refIdx 0): a macroblock
+// whose residual quantizes to zero is a P_Skip (the skip-derived MV is
+// (0,0) here because every coded MV in the stream is zero, so the
+// left/top/median predictors are all zero); anything else is coded as
+// P_L0_16x16 with mvd (0,0) and plain 4x4 luma residuals (no Intra_16x16
+// DC split in inter MBs), with the per-MB I_PCM rewind fallback (mb_type
+// 30 in P slices) bounding the worst case. ref_* must not alias the
+// recon planes (residuals read the reference after earlier MBs already
+// reconstructed).
+static void encode_slice_p(const uint8_t* y, const uint8_t* u,
+                           const uint8_t* v, const uint8_t* ref_y,
+                           const uint8_t* ref_u, const uint8_t* ref_v,
+                           int width, int cw, int mbs_x, int my0, int my1,
+                           const QuantParams& q, int qp, int frame_num,
+                           PlaneCtx py, PlaneCtx pu, PlaneCtx pv,
+                           int pcm_mode, BitWriter& w) {
+    uint8_t* ry = py.recon;
+    int16_t* nnz_y = py.nnz;
+    // slice header (7.3.3): non-IDR reference picture, one L0 reference
+    w.put_ue(uint32_t(my0 * mbs_x));      // first_mb_in_slice
+    w.put_ue(5);                          // slice_type: P (all slices)
+    w.put_ue(0);                          // pic_parameter_set_id
+    w.put_bits(uint32_t(frame_num & 15), 4);  // frame_num (log2 max = 4)
+    w.put_bit(0);                         // num_ref_idx_active_override
+    w.put_bit(0);                         // ref_pic_list_modification_l0
+    w.put_bit(0);                         // adaptive_ref_pic_marking (sliding)
+    w.put_se(qp - 26);                    // slice_qp_delta
+    w.put_ue(1);                          // disable_deblocking_filter_idc
+
+    uint32_t skip_run = 0;
+    for (int my = my0; my < my1; ++my) {
+        for (int mx = 0; mx < mbs_x; ++mx) {
+            const int x0 = mx * 16, y0 = my * 16;
+            const int cx0 = mx * 8, cy0 = my * 8;
+
+            // ---- luma residual: 16 plain 4x4 blocks vs the reference ----
+            int32_t wq[16][16];
+            bool any_luma = false;
+            uint32_t luma_mask = 0;  // bit b: block b has a nonzero level
+            for (int b = 0; b < 16; ++b) {
+                const int bx = kBlkX[b], by = kBlkY[b];
+                const uint8_t* s = y + (y0 + by * 4) * width + x0 + bx * 4;
+                const uint8_t* p = ref_y + (y0 + by * 4) * width + x0 + bx * 4;
+                int32_t blk[16], tr[16], orr = 0;
+                for (int r = 0; r < 4; ++r)
+                    for (int c = 0; c < 4; ++c) {
+                        int32_t d = int32_t(s[r * width + c])
+                                    - int32_t(p[r * width + c]);
+                        blk[4 * r + c] = d;
+                        orr |= d;
+                    }
+                if (!orr) {
+                    memset(wq[b], 0, sizeof(wq[b]));
+                    continue;
+                }
+                fwd4x4(blk, tr);
+                if (quant_block_full(tr, q, wq[b])) {
+                    any_luma = true;
+                    luma_mask |= 1u << b;
+                }
+            }
+
+            // ---- chroma residual: 2x2 DC Hadamard + AC, vs reference ----
+            const uint8_t* srcs[2] = {u, v};
+            const uint8_t* refs[2] = {ref_u, ref_v};
+            PlaneCtx* pcs[2] = {&pu, &pv};
+            int32_t cwq[2][4][16];
+            int32_t cdcq[2][4];
+            bool c_any_ac = false, c_any_dc = false;
+            uint32_t cac_mask[2] = {0, 0};
+            for (int comp = 0; comp < 2; ++comp) {
+                int32_t cdc_raw[4];
+                for (int b = 0; b < 4; ++b) {
+                    const int sx = (b & 1) * 4, sy = (b >> 1) * 4;
+                    const uint8_t* s = srcs[comp] + (cy0 + sy) * cw + cx0 + sx;
+                    const uint8_t* p = refs[comp] + (cy0 + sy) * cw + cx0 + sx;
+                    int32_t blk[16], tr[16], orr = 0;
+                    for (int r = 0; r < 4; ++r)
+                        for (int c = 0; c < 4; ++c) {
+                            int32_t d = int32_t(s[r * cw + c])
+                                        - int32_t(p[r * cw + c]);
+                            blk[4 * r + c] = d;
+                            orr |= d;
+                        }
+                    if (!orr) {
+                        cdc_raw[b] = 0;
+                        memset(cwq[comp][b], 0, sizeof(cwq[comp][b]));
+                        continue;
+                    }
+                    fwd4x4(blk, tr);
+                    cdc_raw[b] = tr[0];
+                    if (quant_block_ac(tr, q, cwq[comp][b])) {
+                        c_any_ac = true;
+                        cac_mask[comp] |= 1u << b;
+                    }
+                }
+                int32_t h0 = cdc_raw[0] + cdc_raw[1] + cdc_raw[2] + cdc_raw[3];
+                int32_t h1 = cdc_raw[0] - cdc_raw[1] + cdc_raw[2] - cdc_raw[3];
+                int32_t h2 = cdc_raw[0] + cdc_raw[1] - cdc_raw[2] - cdc_raw[3];
+                int32_t h3 = cdc_raw[0] - cdc_raw[1] - cdc_raw[2] + cdc_raw[3];
+                int32_t hs[4] = {h0, h1, h2, h3};
+                for (int i = 0; i < 4; ++i) {
+                    int32_t lv = (std::abs(hs[i]) * kMF[q.mod][0]
+                                  + 2 * q.f_intra) >> (q.qbits + 1);
+                    cdcq[comp][i] = hs[i] < 0 ? -lv : lv;
+                    if (cdcq[comp][i]) c_any_dc = true;
+                }
+            }
+            const int cbp_chroma = c_any_ac ? 2 : (c_any_dc ? 1 : 0);
+
+            // ---- P_Skip: all levels zero -> recon is the reference MB ----
+            if (!any_luma && !cbp_chroma) {
+                ++skip_run;
+                for (int r = 0; r < 16; ++r)
+                    memcpy(ry + (y0 + r) * width + x0,
+                           ref_y + (y0 + r) * width + x0, 16);
+                for (int r = 0; r < 8; ++r) {
+                    memcpy(pu.recon + (cy0 + r) * cw + cx0,
+                           ref_u + (cy0 + r) * cw + cx0, 8);
+                    memcpy(pv.recon + (cy0 + r) * cw + cx0,
+                           ref_v + (cy0 + r) * cw + cx0, 8);
+                }
+                for (int z = 0; z < 16; ++z)
+                    nnz_y[(my * 4 + kBlkY[z]) * py.blk_w
+                          + mx * 4 + kBlkX[z]] = 0;
+                for (int b = 0; b < 4; ++b) {
+                    const int bx = mx * 2 + (b & 1);
+                    const int by = my * 2 + (b >> 1);
+                    pu.nnz[by * pu.blk_w + bx] = 0;
+                    pv.nnz[by * pv.blk_w + bx] = 0;
+                }
+                continue;
+            }
+
+            // ---- coded MB: skip run, then P_L0_16x16 with mvd (0,0) ----
+            w.put_ue(skip_run);
+            skip_run = 0;
+            // snapshot AFTER the skip run: the I_PCM rewind keeps it
+            const long snap_pos = w.pos;
+            const int snap_bit = w.bit;
+            const uint32_t snap_acc = w.acc;
+
+            // luma cbp restricted to {0, 15}: when any block has levels,
+            // all four 8x8s are coded (an empty 4x4 costs one coeff_token),
+            // keeping emitted cbp inside the anchor set of kInterCbpCode
+            const int luma_bits = any_luma ? 15 : 0;
+            const int cbp = luma_bits | (cbp_chroma << 4);
+            w.put_ue(0);   // mb_type: P_L0_16x16
+            w.put_se(0);   // mvd_l0 x (zero-motion tier)
+            w.put_se(0);   // mvd_l0 y
+            w.put_ue(kInterCbpCode[cbp]);
+            if (cbp) w.put_se(0);  // mb_qp_delta
+            if (luma_bits) {
+                for (int b = 0; b < 16; ++b) {
+                    const int bx4 = mx * 4 + kBlkX[b];
+                    const int by4 = my * 4 + kBlkY[b];
+                    int32_t scan[16];
+                    for (int i = 0; i < 16; ++i)
+                        scan[i] = wq[b][kZigzag[i]];
+                    int tc = write_block(w, scan, 16, pred_nc(py, bx4, by4));
+                    nnz_y[by4 * py.blk_w + bx4] = int16_t(tc);
+                }
+            } else {
+                for (int z = 0; z < 16; ++z)
+                    nnz_y[(my * 4 + kBlkY[z]) * py.blk_w
+                          + mx * 4 + kBlkX[z]] = 0;
+            }
+            if (cbp_chroma) {
+                for (int comp = 0; comp < 2; ++comp)
+                    write_block(w, cdcq[comp], 4, -1);
+            }
+            for (int comp = 0; comp < 2; ++comp) {
+                PlaneCtx& pc = *pcs[comp];
+                for (int b = 0; b < 4; ++b) {
+                    const int bx = mx * 2 + (b & 1);
+                    const int by = my * 2 + (b >> 1);
+                    if (cbp_chroma == 2) {
+                        int32_t scan[15];
+                        for (int i = 1; i < 16; ++i)
+                            scan[i - 1] = cwq[comp][b][kZigzag[i]];
+                        int tc = write_block(w, scan, 15, pred_nc(pc, bx, by));
+                        pc.nnz[by * pc.blk_w + bx] = int16_t(tc);
+                    } else {
+                        pc.nnz[by * pc.blk_w + bx] = 0;
+                        for (int i = 1; i < 16; ++i) cwq[comp][b][i] = 0;
+                    }
+                }
+                if (cbp_chroma < 1)
+                    for (int i = 0; i < 4; ++i) cdcq[comp][i] = 0;
+            }
+
+            // ---- per-MB I_PCM fallback (mb_type 30 in P slices) ----
+            const long mb_bits = (w.pos - snap_pos) * 8 + (w.bit - snap_bit);
+            bool use_pcm = pcm_mode == 2;
+            if (pcm_mode == 1) {
+                const long ipcm_bits =
+                    9 + ((8 - ((snap_bit + 9) & 7)) & 7) + 384 * 8;
+                use_pcm = mb_bits > ipcm_bits;
+            }
+            if (use_pcm) {
+                w.pos = snap_pos; w.bit = snap_bit; w.acc = snap_acc;
+                w.put_ue(30);         // mb_type: I_PCM (P slice: 5 + 25)
+                w.byte_align_zero();
+                for (int r = 0; r < 16; ++r)
+                    w.put_bytes(y + (y0 + r) * width + x0, 16);
+                for (int r = 0; r < 8; ++r)
+                    w.put_bytes(u + (cy0 + r) * cw + cx0, 8);
+                for (int r = 0; r < 8; ++r)
+                    w.put_bytes(v + (cy0 + r) * cw + cx0, 8);
+                for (int z = 0; z < 16; ++z)
+                    nnz_y[(my * 4 + kBlkY[z]) * py.blk_w
+                          + mx * 4 + kBlkX[z]] = 16;
+                for (int b = 0; b < 4; ++b) {
+                    const int bx = mx * 2 + (b & 1);
+                    const int by = my * 2 + (b >> 1);
+                    pu.nnz[by * pu.blk_w + bx] = 16;
+                    pv.nnz[by * pv.blk_w + bx] = 16;
+                }
+                for (int r = 0; r < 16; ++r)
+                    memcpy(ry + (y0 + r) * width + x0,
+                           y + (y0 + r) * width + x0, 16);
+                for (int r = 0; r < 8; ++r) {
+                    memcpy(pu.recon + (cy0 + r) * cw + cx0,
+                           u + (cy0 + r) * cw + cx0, 8);
+                    memcpy(pv.recon + (cy0 + r) * cw + cx0,
+                           v + (cy0 + r) * cw + cx0, 8);
+                }
+                continue;
+            }
+
+            // ---- reconstruction (decoder-identical) ----
+            for (int b = 0; b < 16; ++b) {
+                const int bx = kBlkX[b], by = kBlkY[b];
+                uint8_t* rb = ry + (y0 + by * 4) * width + x0 + bx * 4;
+                const uint8_t* pb =
+                    ref_y + (y0 + by * 4) * width + x0 + bx * 4;
+                if (!(luma_mask & (1u << b))) {
+                    for (int r = 0; r < 4; ++r)
+                        memcpy(rb + r * width, pb + r * width, 4);
+                    continue;
+                }
+                int32_t d[16], res[16];
+                d[0] = dequant_ac(wq[b][0], 0, q);
+                dequant_block_ac(wq[b], q, d);
+                inv4x4(d, res);
+                for (int r = 0; r < 4; ++r)
+                    for (int c = 0; c < 4; ++c)
+                        rb[r * width + c] = clip255(
+                            int32_t(pb[r * width + c]) + res[4 * r + c]);
+            }
+            for (int comp = 0; comp < 2; ++comp) {
+                uint8_t* rec = pcs[comp]->recon;
+                const uint8_t* ref = refs[comp];
+                int32_t c0 = cdcq[comp][0], c1 = cdcq[comp][1];
+                int32_t c2 = cdcq[comp][2], c3 = cdcq[comp][3];
+                int32_t f0 = c0 + c1 + c2 + c3;
+                int32_t f1 = c0 - c1 + c2 - c3;
+                int32_t f2c = c0 + c1 - c2 - c3;
+                int32_t f3 = c0 - c1 - c2 + c3;
+                int32_t ls = 16 * kV[q.mod][0];
+                int32_t dcd[4] = {
+                    ((f0 * ls) << (q.qp / 6)) >> 5,
+                    ((f1 * ls) << (q.qp / 6)) >> 5,
+                    ((f2c * ls) << (q.qp / 6)) >> 5,
+                    ((f3 * ls) << (q.qp / 6)) >> 5,
+                };
+                for (int b = 0; b < 4; ++b) {
+                    const int sx = (b & 1) * 4, sy = (b >> 1) * 4;
+                    uint8_t* rb = rec + (cy0 + sy) * cw + cx0 + sx;
+                    const uint8_t* pb = ref + (cy0 + sy) * cw + cx0 + sx;
+                    if (dcd[b] == 0
+                        && (cbp_chroma < 2
+                            || !(cac_mask[comp] & (1u << b)))) {
+                        for (int r = 0; r < 4; ++r)
+                            memcpy(rb + r * cw, pb + r * cw, 4);
+                        continue;
+                    }
+                    int32_t d[16], res[16];
+                    d[0] = dcd[b];
+                    dequant_block_ac(cwq[comp][b], q, d);
+                    inv4x4(d, res);
+                    for (int r = 0; r < 4; ++r)
+                        for (int c = 0; c < 4; ++c)
+                            rb[r * cw + c] = clip255(
+                                int32_t(pb[r * cw + c]) + res[4 * r + c]);
+                }
+            }
+        }
+    }
+    if (skip_run) w.put_ue(skip_run);  // trailing skipped macroblocks
+    w.rbsp_trailing();
+}
+
 }  // namespace
 
 extern "C" {
@@ -1490,6 +1795,93 @@ done:
     if (!recon_v) free(rv);
     free(nnz_y); free(nnz_u); free(nnz_v);
     free(imodes);
+    return rc;
+}
+
+// Encode one I420 frame as a P picture (annex-B [P slice xN]) against the
+// previous frame's reconstruction ref_y/u/v — the zero-motion inter tier:
+// unchanged macroblocks become P_Skip runs, changed ones P_L0_16x16 with
+// mvd (0,0) (the reference's x264 path emits inter frames for the same
+// debug-bitrate reason, reference src/rtpstreamer.cpp:62-93). frame_num
+// is the 4-bit reference-frame counter (IDR resets to 0; callers pass
+// prev+1 mod 16). No SPS/PPS/IDR is emitted. recon_y/u/v (required)
+// receive the spec-exact reconstruction for chaining and MUST be distinct
+// buffers from ref_y/u/v. Returns bytes written or -1.
+long vptpu_h264_cavlc_encode_p(const uint8_t* y, const uint8_t* u,
+                               const uint8_t* v, int width, int height,
+                               int qp, int frame_num, int n_slices,
+                               const uint8_t* ref_y, const uint8_t* ref_u,
+                               const uint8_t* ref_v,
+                               uint8_t* out, long out_cap,
+                               uint8_t* recon_y, uint8_t* recon_u,
+                               uint8_t* recon_v) {
+    if (width % 16 || height % 16) return -1;
+    if (!ref_y || !ref_u || !ref_v || !recon_y || !recon_u || !recon_v)
+        return -1;
+    if (recon_y == ref_y || recon_u == ref_u || recon_v == ref_v) return -1;
+    if (qp < 10) qp = 10;
+    if (qp > 29) qp = 29;
+    const int mbs_x = width / 16, mbs_y = height / 16;
+    const int cw = width / 2;
+    // inter rounding offset f = 2^qbits / 6 (vs /3 intra, 8.5.9 note)
+    QuantParams q = make_qp(qp);
+    q.f_intra = (1 << q.qbits) / 6;
+    if (n_slices < 1) n_slices = 1;
+    if (n_slices > mbs_y) n_slices = mbs_y;
+
+    int16_t* nnz_y = (int16_t*)calloc(size_t(mbs_x * 4) * (mbs_y * 4), 2);
+    int16_t* nnz_u = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    int16_t* nnz_v = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    int pcm_mode = 1;
+    if (const char* pe = getenv("VPTPU_PCM")) {
+        if (pe[0] == '0') pcm_mode = 0;
+        else if (!strcmp(pe, "force")) pcm_mode = 2;
+    }
+    long rc = -1;
+    if (!nnz_y || !nnz_u || !nnz_v) goto done;
+
+    {
+        std::vector<long> caps(n_slices), my0s(n_slices), my1s(n_slices);
+        std::vector<uint8_t*> bufs(n_slices, nullptr);
+        std::vector<BitWriter> ws(n_slices);
+        bool alloc_ok = true;
+        for (int s = 0; s < n_slices; ++s) {
+            my0s[s] = long(mbs_y) * s / n_slices;
+            my1s[s] = long(mbs_y) * (s + 1) / n_slices;
+            caps[s] = (my1s[s] - my0s[s]) * long(mbs_x) * 2048 + 4096;
+            bufs[s] = (uint8_t*)malloc(size_t(caps[s]));
+            if (!bufs[s]) alloc_ok = false;
+        }
+        if (alloc_ok) {
+            auto run = [&](int s) {
+                ws[s] = BitWriter{bufs[s], caps[s]};
+                int m0 = int(my0s[s]), m1 = int(my1s[s]);
+                PlaneCtx py{recon_y, width, nnz_y, mbs_x * 4, m0 * 4};
+                PlaneCtx pu{recon_u, cw, nnz_u, mbs_x * 2, m0 * 2};
+                PlaneCtx pv{recon_v, cw, nnz_v, mbs_x * 2, m0 * 2};
+                encode_slice_p(y, u, v, ref_y, ref_u, ref_v, width, cw,
+                               mbs_x, m0, m1, q, qp, frame_num, py, pu, pv,
+                               pcm_mode, ws[s]);
+            };
+            std::vector<std::thread> threads;
+            for (int s = 1; s < n_slices; ++s) threads.emplace_back(run, s);
+            run(0);
+            for (auto& t : threads) t.join();
+
+            long o = 0;
+            for (int s = 0; s < n_slices && o >= 0; ++s) {
+                if (ws[s].pos >= caps[s]) { o = -1; break; }
+                // non-IDR coded slice (NAL type 1), used as a reference
+                o = vptpu::emit_nal(out, out_cap, o, 2, 1, bufs[s],
+                                    ws[s].pos);
+            }
+            if (o >= 0) rc = o;
+        }
+        for (int s = 0; s < n_slices; ++s) free(bufs[s]);
+    }
+
+done:
+    free(nnz_y); free(nnz_u); free(nnz_v);
     return rc;
 }
 

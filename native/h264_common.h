@@ -88,7 +88,9 @@ inline long emit_sps_pps(uint8_t* out, long out_cap, long off,
         w.put_ue(0);         // seq_parameter_set_id
         w.put_ue(0);         // log2_max_frame_num_minus4
         w.put_ue(2);         // pic_order_cnt_type: derived from frame_num
-        w.put_ue(0);         // max_num_ref_frames
+        w.put_ue(1);         // max_num_ref_frames: the P tier references
+                             // the previous frame (sliding window of 1);
+                             // harmless for the all-intra tiers
         w.put_bit(0);        // gaps_in_frame_num_value_allowed
         w.put_ue(uint32_t(mbs_x - 1));
         w.put_ue(uint32_t(mbs_y - 1));

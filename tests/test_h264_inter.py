@@ -1,0 +1,163 @@
+"""Zero-motion inter tier (P frames): the GOP-mode CAVLC encoder must
+produce standard bitstreams that a stock decoder plays back as the
+encoder's own spec-math reconstruction, with P_Skip collapsing unchanged
+macroblocks to near-zero bits. The reference's x264 path emits inter
+frames for the same debug-bitrate reason (reference
+src/rtpstreamer.cpp:62-93).
+"""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _encoder(**kw):
+    from vision_processor_tpu.io.native import H264Encoder
+
+    try:
+        return H264Encoder(**kw)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+
+
+def _base_image(w=320, h=240):
+    bgr = np.zeros((h, w, 3), np.uint8)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    bgr[..., 0] = (xx * 255 // w).astype(np.uint8)
+    bgr[..., 1] = (yy * 255 // h).astype(np.uint8)
+    bgr[..., 2] = 96
+    return bgr
+
+
+def _to_i420(bgr):
+    h, w = bgr.shape[:2]
+    i = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+    return (i[:h], i[h:h + h // 4].reshape(h // 2, w // 2),
+            i[h + h // 4:].reshape(h // 2, w // 2))
+
+
+def _decode(path):
+    cap = cv2.VideoCapture(str(path))
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return frames
+
+
+def test_gop_stream_decodes_to_recon(tmp_path):
+    """6-frame GOP with a moving box: every frame decodes, and the final
+    decoded frame equals the encoder's reconstruction through the
+    decoder's color round trip (<=2, as in the intra tests)."""
+    enc = _encoder(qp=24, n_slices=4, gop=6)
+    base = _base_image()
+    h, w = base.shape[:2]
+    path = tmp_path / "gop.h264"
+    with path.open("wb") as fh:
+        for t in range(6):
+            bgr = base.copy()
+            x = 50 + 20 * t
+            bgr[100:140, x:x + 40] = (30, 200, 40)
+            fh.write(enc.encode_i420(*_to_i420(bgr)))
+    frames = _decode(path)
+    assert len(frames) == 6
+    ry, ru, rv = enc.last_recon
+    got = cv2.cvtColor(frames[-1], cv2.COLOR_BGR2YUV_I420)
+    gy = got[:h]
+    gu = got[h:h + h // 4].reshape(h // 2, w // 2)
+    gv = got[h + h // 4:].reshape(h // 2, w // 2)
+    assert np.abs(gy.astype(int) - ry.astype(int)).max() <= 2
+    assert np.abs(gu.astype(int) - ru.astype(int)).max() <= 2
+    assert np.abs(gv.astype(int) - rv.astype(int)).max() <= 2
+    # the moving box actually moved: frame 0 and frame 5 differ at both
+    # box sites (guards against the decoder repeating the IDR)
+    assert np.abs(frames[0].astype(int) - frames[-1].astype(int)).max() > 50
+
+
+def test_static_scene_collapses_to_pskip(tmp_path):
+    """Identical frames after the IDR: P pictures are P_Skip runs (a few
+    bytes of slice header), orders of magnitude below the IDR."""
+    enc = _encoder(qp=24, n_slices=1, gop=8)
+    bgr = _base_image()
+    sizes = []
+    path = tmp_path / "static.h264"
+    with path.open("wb") as fh:
+        for _ in range(8):
+            au = enc.encode_i420(*_to_i420(bgr))
+            sizes.append(len(au))
+            fh.write(au)
+    assert len(_decode(path)) == 8
+    # frame 1 may refine the IDR's quantization residue; frames 2+ must be
+    # pure skip (all-zero residual against an already-exact recon)
+    assert all(s <= 64 for s in sizes[2:]), sizes
+    assert sizes[0] > 50 * max(sizes[2:]), sizes
+
+
+def test_gop_multislice_matches_single_slice_recon(tmp_path):
+    """Slice-parallel P encoding stays decoder-exact: 4-slice and 1-slice
+    GOP streams both decode to their own reconstructions."""
+    base = _base_image()
+    h, w = base.shape[:2]
+    frames_src = []
+    for t in range(4):
+        bgr = base.copy()
+        bgr[60:90, 60 + 25 * t:100 + 25 * t] = (200, 60, 220)
+        frames_src.append(bgr)
+    for n_slices in (1, 4):
+        enc = _encoder(qp=22, n_slices=n_slices, gop=4)
+        path = tmp_path / f"s{n_slices}.h264"
+        with path.open("wb") as fh:
+            for bgr in frames_src:
+                fh.write(enc.encode_i420(*_to_i420(bgr)))
+        dec = _decode(path)
+        assert len(dec) == 4
+        ry, _, _ = enc.last_recon
+        gy = cv2.cvtColor(dec[-1], cv2.COLOR_BGR2YUV_I420)[:h]
+        assert np.abs(gy.astype(int) - ry.astype(int)).max() <= 2
+
+
+def test_pcm_fallback_in_p_slice(tmp_path, monkeypatch):
+    """VPTPU_PCM=force sends every P-slice macroblock as I_PCM (mb_type
+    30): the stream must still decode, losslessly."""
+    monkeypatch.setenv("VPTPU_PCM", "force")
+    enc = _encoder(qp=24, n_slices=2, gop=3)
+    bgr = _base_image()
+    h = bgr.shape[0]
+    path = tmp_path / "pcm.h264"
+    with path.open("wb") as fh:
+        for _ in range(3):
+            fh.write(enc.encode_i420(*_to_i420(bgr)))
+    dec = _decode(path)
+    assert len(dec) == 3
+    sy = _to_i420(bgr)[0]
+    for d in dec:
+        gy = cv2.cvtColor(d, cv2.COLOR_BGR2YUV_I420)[:h]
+        assert np.abs(gy.astype(int) - sy.astype(int)).max() <= 2
+
+
+def test_gop_resets_on_shape_change():
+    enc = _encoder(qp=24, gop=4)
+    a = _base_image(320, 240)
+    b = _base_image(160, 112)
+    enc.encode_i420(*_to_i420(a))
+    enc.encode_i420(*_to_i420(a))
+    # shape change mid-GOP: must restart with an IDR (SPS NAL present)
+    au = enc.encode_i420(*_to_i420(b))
+    assert b"\x00\x00\x00\x01\x67" in au  # SPS start code + NAL type 7
+
+
+def test_gop_longer_than_frame_num_range(tmp_path):
+    """frame_num is 4 bits (log2_max_frame_num = 4): a GOP longer than 16
+    wraps frame_num mid-GOP and must still decode every frame."""
+    enc = _encoder(qp=24, n_slices=1, gop=24)
+    base = _base_image()
+    path = tmp_path / "long.h264"
+    with path.open("wb") as fh:
+        for t in range(24):
+            bgr = base.copy()
+            bgr[10:30, (t * 9) % 280:(t * 9) % 280 + 20] = (255, 255, 255)
+            fh.write(enc.encode_i420(*_to_i420(bgr)))
+    assert len(_decode(path)) == 24

@@ -95,6 +95,17 @@ def load_native(build: bool = True):
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
 
+    if hasattr(lib, "vptpu_h264_cavlc_encode_p"):
+        lib.vptpu_h264_cavlc_encode_p.restype = ctypes.c_long
+        lib.vptpu_h264_cavlc_encode_p.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+
     _lib = lib
     return lib
 
@@ -116,11 +127,20 @@ class H264Encoder:
       bit-exactly the encoder's spec-math reconstruction (deblocking
       signalled off).
 
-    Both emit fully standard annex-B baseline bitstreams. Frames are
+    ``gop=N`` (CAVLC tier only) additionally enables the zero-motion
+    inter tier: one IDR every N frames, the rest P pictures coding only
+    macroblocks whose residual against the previous reconstruction
+    survives quantization (P_Skip runs elsewhere) — on mostly-static
+    field content the stream shrinks by roughly the GOP length. The
+    reference's x264 path emits inter frames for the same reason
+    (reference src/rtpstreamer.cpp:62-93).
+
+    All tiers emit fully standard annex-B baseline bitstreams. Frames are
     padded to multiples of 16.
     """
 
-    def __init__(self, qp: int | None = None, n_slices: int | None = None):
+    def __init__(self, qp: int | None = None, n_slices: int | None = None,
+                 gop: int | None = None):
         self._lib = load_native()
         if self._lib is None:
             raise RuntimeError("native library unavailable")
@@ -128,6 +148,13 @@ class H264Encoder:
         self._out = None
         self._idr = 0
         self.qp = qp
+        self.gop = int(gop) if gop and qp is not None and int(gop) > 1 else None
+        if self.gop and not hasattr(self._lib, "vptpu_h264_cavlc_encode_p"):
+            self.gop = None
+        self._gop_idx = 0       # frame index within the current GOP
+        self._frame_num = 0     # 4-bit H.264 reference frame counter
+        self._ref = None        # previous frame's reconstruction planes
+        self._new = None        # scratch recon planes for the current frame
         # slice-parallel CAVLC: one thread per horizontal slice band. The
         # default leaves headroom for the per-camera host finishing threads
         # (the encoder runs on the debug path, not the detection path).
@@ -169,12 +196,50 @@ class H264Encoder:
                 self._scratch.ctypes.data, self._scratch.size,
                 self._out.ctypes.data, self._out.size,
             )
+        elif self.gop:
+            return self._encode_gop(y, u, v, w, h)
         else:
             n = self._cavlc(y, u, v, w, h)
         if n <= 0:
             raise RuntimeError(f"h264 encode failed ({n})")
         self._idr ^= 1
         return self._out[:n].tobytes()
+
+    def _encode_gop(self, y, u, v, w, h) -> bytes:
+        """IDR/P sequencing for the inter tier: the previous frame's
+        spec-exact reconstruction (double-buffered — the native P encoder
+        requires ref and recon to be distinct) is the L0 reference."""
+        if self._ref is None or self._ref[0].shape != y.shape:
+            make = lambda: (np.zeros_like(y), np.zeros_like(u),
+                            np.zeros_like(v))
+            self._ref, self._new = make(), make()
+            self._gop_idx = 0
+        ny, nu, nv = self._new
+        if self._gop_idx == 0:
+            n = self._cavlc(y, u, v, w, h, ny, nu, nv)
+            self._idr ^= 1
+            self._frame_num = 0
+        else:
+            ry, ru, rv = self._ref
+            self._frame_num = (self._frame_num + 1) & 15
+            n = self._lib.vptpu_h264_cavlc_encode_p(
+                y.ctypes.data, u.ctypes.data, v.ctypes.data, w, h,
+                int(self.qp), self._frame_num, self.n_slices,
+                ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
+                self._out.ctypes.data, self._out.size,
+                ny.ctypes.data, nu.ctypes.data, nv.ctypes.data,
+            )
+        if n <= 0:
+            raise RuntimeError(f"h264 encode failed ({n})")
+        self._ref, self._new = self._new, self._ref
+        self._gop_idx = (self._gop_idx + 1) % self.gop
+        return self._out[:n].tobytes()
+
+    @property
+    def last_recon(self):
+        """Reconstruction planes of the most recent GOP-mode frame —
+        exactly what a conforming decoder outputs (test hook)."""
+        return self._ref
 
     def encode_i420_recon(self, y, u, v):
         """encode_i420 + the spec-exact reconstruction planes a conforming

@@ -14,6 +14,7 @@ All paths are wire-standard and playable by ffplay/GStreamer/VLC.
 """
 from __future__ import annotations
 
+import os
 import shutil
 import socket
 import struct
@@ -174,7 +175,13 @@ class RTPStreamer:
         try:
             from .native import H264Encoder
 
-            self._encoder = H264Encoder(qp=self.qp)
+            # zero-motion inter tier: IDR every VPTPU_GOP frames (default
+            # 30 = one per second at the 30 fps stream rate; the
+            # reference's x264 path emits inter frames likewise), P_Skip
+            # elsewhere — mostly-static field views shrink ~GOP-fold.
+            # VPTPU_GOP=1 restores the all-intra stream.
+            gop = int(os.environ.get("VPTPU_GOP", "30") or 1)
+            self._encoder = H264Encoder(qp=self.qp, gop=gop)
             return "h264-native"
         except Exception:
             pass
