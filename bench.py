@@ -142,17 +142,14 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False,
     # on TPU; resolved per-geometry exactly like Processor._ensure_step so
     # an unfit camera can never silently mis-sample the headline numbers
     if resample_mode == "warp":
-        from vision_processor_tpu.ops.warp import warp_fits
+        from vision_processor_tpu.ops.warp import cameras_fit_warp
 
-        assert all(
-            warp_fits(m, float(scales_i), (float(o[0]), float(o[1])),
-                      bm.flat_shape, bm.plane_shape, 150.0)
-            for (m, _), scales_i, o in zip(
-                cams,
-                [p.field_scale for _, p in cams],
-                [(p.visible_field_extent[0], p.visible_field_extent[2])
-                 for _, p in cams],
-            )
+        assert cameras_fit_warp(
+            [(m, float(p.field_scale),
+              (float(p.visible_field_extent[0]),
+               float(p.visible_field_extent[2])), 150.0)
+             for m, p in cams],
+            bm.flat_shape, bm.plane_shape,
         ), "bench rig geometry rejected by warp_fits"
     if resample_mode != bm.resample_mode:
         import dataclasses

@@ -60,7 +60,7 @@ def main():
         tracked = M.tracked_from_summaries(
             cfg.det, prev_summary, params_["tracked_time_delta"],
             prev_summaries=prev_prev,
-            bot_heights=params_.get("bot_heights"),
+            bot_heights=params_.get("bot_heights_yb"),
         )
         outs = [
             M._single_cam_step(
@@ -86,7 +86,7 @@ def main():
         tracked = M.tracked_from_summaries(
             cfg.det, prev_summary, params_["tracked_time_delta"],
             prev_summaries=prev_prev,
-            bot_heights=params_.get("bot_heights"),
+            bot_heights=params_.get("bot_heights_yb"),
         )
         b = cfg.det.max_bots
         det = {

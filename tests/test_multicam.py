@@ -339,6 +339,32 @@ def test_tracked_from_summaries_velocities():
     assert not np.asarray(tr0["vx"]).any()
 
 
+def test_batched_step_consumes_params_bot_heights(rig2, monkeypatch):
+    """Regression: every params producer emits the key "bot_heights_yb";
+    the device-loop steps must pass it through to tracked_from_summaries
+    (a mismatched key silently falls back to the 143 mm default — this
+    shipped once as dead code for the GC team-heights feature)."""
+    cfg, raws, packed, scales, offsets, colors = rig2
+    captured = {}
+    real = M.tracked_from_summaries
+
+    def spy(det, summaries, dt, prev_summaries=None, bot_heights=None):
+        captured["bot_heights"] = bot_heights
+        return real(det, summaries, dt, prev_summaries=prev_summaries,
+                    bot_heights=bot_heights)
+
+    monkeypatch.setattr(M, "tracked_from_summaries", spy)
+    p = params()
+    p["bot_heights_yb"] = jnp.asarray([160.0, 155.0], dtype=jnp.float32)
+    prev = M.empty_summary(cfg)
+    # .lower() traces (invoking the spy) without paying XLA compilation
+    M.batched_step(cfg).lower(
+        raws, packed, scales, offsets, colors, prev, p)
+    assert captured.get("bot_heights") is not None, (
+        "params['bot_heights_yb'] did not reach tracked_from_summaries"
+    )
+
+
 def test_sharded_fused_matches_batched(divb_field, rig2):
     """sharded_step(fused=True) must produce the same finalized detections
     and finisher outputs as the single-chip batched fused step — the

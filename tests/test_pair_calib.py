@@ -130,6 +130,48 @@ def test_pair_calibration_rejects_empty():
     assert height_from_shared_objects(wrong, []) is None
 
 
+def test_pair_calibration_trusted_camera_pins_height():
+    """Mixed rig: cam1 has an operator-measured (correct) height and is
+    NOT in `free`; cam0 sits on the wrong manifold. The solver must keep
+    cam1 fixed in the cost and recover cam0's true height from the
+    dual-view observations alone."""
+    rng = np.random.default_rng(11)
+    field = _field()
+    true_models = _true_models(field)
+    models = [_wrong_guess(true_models[0], 3600.0), true_models[1]]
+
+    dets = {0: [], 1: []}
+    for k, (bx, by) in enumerate([(0.0, -1800.0), (150.0, 0.0),
+                                  (-120.0, 1500.0), (60.0, 800.0)]):
+        p = np.array([bx, by, BOT_Z])
+        for cam in (0, 1):
+            px = true_models[cam].field2image(p[None, :])[0]
+            dets[cam].append((k, px + rng.normal(0.0, 0.3, 2), BOT_Z))
+
+    obs = observations_from_detections(dets, models)
+    assert len(obs) == 4
+    h = height_from_shared_objects(models, obs, free={0})
+    assert h is not None
+    assert abs(h - TRUE_H) < 0.03 * TRUE_H, (
+        f"recovered height {h:.0f} vs true {TRUE_H:.0f}"
+    )
+    # the trusted camera's model was never modified by the solve
+    assert models[1].pos[2] == TRUE_H
+    assert models[1].focal_length == true_models[1].focal_length
+
+
+def test_pair_calibration_all_trusted_is_no_information():
+    """Observations between two trusted cameras carry no information
+    about h (their models do not move with it) — the solver must refuse
+    rather than return an arbitrary optimum."""
+    field = _field()
+    models = _true_models(field)
+    p = np.array([0.0, -1800.0, BOT_Z])
+    obs = [(0, models[0].field2image(p[None, :])[0],
+            1, models[1].field2image(p[None, :])[0], BOT_Z)]
+    assert height_from_shared_objects(models, obs, free=set()) is None
+
+
 def test_multicam_app_pair_height_refinement(tmp_path):
     """Production integration of the pair solver (reference config.yml
     `camera_height: 0.0` = automated height calibration, extended to the

@@ -126,7 +126,13 @@ class MultiCamApp:
 
     def _ensure_step(self, fmt: str, raw_shape: tuple):
         persp = [p.perspective for p in self.processors]
+        # geometry_version is in the key so an in-run recalibration that
+        # happens to preserve reprojected sizes (e.g. the rig-height solve
+        # moves cameras along the z=0-invariant manifold) still re-resolves
+        # warp_fits against the NEW models and refreshes the per-camera
+        # debug configs (CLAUDE.md: cache keys cover every projection input)
         key = (fmt, raw_shape,
+               tuple(pp.geometry_version for pp in persp),
                tuple(tuple(pp.reprojected_field_size) for pp in persp))
         if self._geom_key == key:
             return True
@@ -149,28 +155,18 @@ class MultiCamApp:
             max_blobs=self.configs[0].max_blobs,
         )
         # two-pass Pallas warp resample when EVERY camera's geometry admits
-        # it (the batched program shares one mode); mirrors the
-        # single-camera auto-resolution in Processor._ensure_step
-        mode = self.configs[0].resample_mode
-        if mode == "auto":
-            if self._jax.default_backend() != "tpu":
-                mode = "gather"
-            else:
-                from ..ops.warp import warp_fits
+        # it (the batched program shares one mode); same auto-resolution as
+        # Processor._ensure_step, via the shared ops/warp.py helper
+        from ..ops.warp import resolve_resample_mode
 
-                fits = all(
-                    warp_fits(
-                        pp.model, pp.field_scale,
-                        (pp.visible_field_extent[0],
-                         pp.visible_field_extent[2]),
-                        bm.flat_shape, bm.plane_shape,
-                        float(proc.max_bot_height),
-                    )
-                    for pp, proc in zip(persp, self.processors)
-                )
-                mode = "warp" if fits else "gather"
-                if not fits:
-                    log.info("warp_fits rejected a camera; gather resample")
+        mode = resolve_resample_mode(
+            self.configs[0].resample_mode,
+            [(pp.model, pp.field_scale,
+              (pp.visible_field_extent[0], pp.visible_field_extent[2]),
+              float(proc.max_bot_height))
+             for pp, proc in zip(persp, self.processors)],
+            bm.flat_shape, bm.plane_shape,
+        )
         if mode != bm.resample_mode:
             from dataclasses import replace
 
@@ -234,6 +230,8 @@ class MultiCamApp:
         # the grids
         if self.configs[0].device_finish:
             marks_key = (self.mc_cfg.bm,
+                         tuple(p.perspective.geometry_version
+                               for p in self.processors),
                          tuple(c.geometry_tolerance for c in self.configs))
             if getattr(self, "_marks_key", None) != marks_key:
                 from ..models.device_finish import pack_field_marks
@@ -387,6 +385,14 @@ class MultiCamApp:
             for team_off, robots in ((0, det.robots_yellow),
                                      (16, det.robots_blue)):
                 for r in robots:
+                    # vetoed robots are emitted with confidence 0.0 (the
+                    # tracked-color veto zeroes the score but keeps the
+                    # entry); a vetoed mis-constellation sharing an id with
+                    # a real robot in the paired camera would corrupt the
+                    # dual-view observation, so only trusted detections
+                    # feed the one-shot rig-height fit
+                    if r.confidence <= 0.0:
+                        continue
                     px = model.field2image(
                         np.array([r.x, r.y, r.height], dtype=float)
                     )
@@ -407,7 +413,14 @@ class MultiCamApp:
         from ..proto import SSL_SOURCE_VISION_PROCESSOR, SSL_WrapperPacket
 
         models = [p.perspective.model for p in self.processors]
-        h = height_from_shared_objects(models, self._height_obs)
+        # only cameras whose config explicitly asked for height calibration
+        # (`camera_height: 0.0` set by the operator) are moved; cameras
+        # with measured heights stay FIXED in the cost — a trusted camera
+        # in an overlap pair pins h even harder than two free ones — and
+        # their calibrations are never rewritten
+        free = {i for i, c in enumerate(self.configs)
+                if c.camera_height == 0.0 and c.camera_height_set}
+        h = height_from_shared_objects(models, self._height_obs, free=free)
         self._height_obs.clear()
         if h is None:
             # keep collecting: a noisy startup window must not forfeit
@@ -417,9 +430,10 @@ class MultiCamApp:
                         "fresh observations")
             return
         self._pair_height_active = False
-        refined = [deepcopy(m) for m in models]
+        refined = [deepcopy(models[i]) for i in sorted(free)]
         apply_height(refined, h)
-        for cfg, sock, model in zip(self.configs, self.sockets, refined):
+        for i, model in zip(sorted(free), refined):
+            cfg, sock = self.configs[i], self.sockets[i]
             wrapper = SSL_WrapperPacket()
             wrapper.source = SSL_SOURCE_VISION_PROCESSOR
             wrapper.geometry.CopyFrom(sock.geometry)
@@ -427,7 +441,7 @@ class MultiCamApp:
             wrapper.geometry.calib.append(model.to_proto(cfg.cam_id))
             sock.send(wrapper)
         log.info("pair height calibration applied: rig height %.0f mm "
-                 "broadcast for %d cameras", h, self.n_cams)
+                 "broadcast for %d of %d cameras", h, len(free), self.n_cams)
 
     def _stream_and_snapshot(self, frames, frame_id: int, real_start: float):
         """Debug stream + snapshots, round-robin one camera per frame-set

@@ -242,26 +242,14 @@ class Processor:
         # two-pass Pallas warp resample where the geometry admits it
         # ("auto"); warp_fits rejects non-separable maps (heavy rotation)
         # and falls back to the bit-exact gather path
-        mode = self.config.resample_mode
-        if mode == "auto":
-            # warp is a TPU perf kernel (Pallas); on CPU (tests, tooling)
-            # it would run in interpret mode — keep the gather there
-            if jax.default_backend() != "tpu":
-                mode = "gather"
-            else:
-                from ..ops.warp import warp_fits
+        from ..ops.warp import resolve_resample_mode
 
-                fits = warp_fits(
-                    self.perspective.model,
-                    self._bm_cfg.field_scale,
-                    self._bm_cfg.field_offset,
-                    self._bm_cfg.flat_shape,
-                    self._bm_cfg.plane_shape,
-                    self.max_bot_height,
-                )
-                mode = "warp" if fits else "gather"
-                if not fits:
-                    log.info("warp_fits rejected the geometry; gather resample")
+        mode = resolve_resample_mode(
+            self.config.resample_mode,
+            [(self.perspective.model, self._bm_cfg.field_scale,
+              self._bm_cfg.field_offset, self.max_bot_height)],
+            self._bm_cfg.flat_shape, self._bm_cfg.plane_shape,
+        )
         if mode != self._bm_cfg.resample_mode:
             from dataclasses import replace
 

@@ -53,15 +53,27 @@ def height_from_shared_objects(
     models: list[CameraModel],
     observations: list[tuple[int, np.ndarray, int, np.ndarray, float]],
     h_bounds: tuple[float, float] = (1500.0, 15000.0),
+    free: set[int] | None = None,
 ) -> float | None:
     """Solve the shared rig height from dual-view object observations.
 
     observations: (cam_a, px_a, cam_b, px_b, obj_z) tuples — the same
     physical object (center pixel px, object height obj_z in mm) seen by
     two cameras. models: the plane-consistent per-camera calibrations
-    (any height on their ambiguity manifolds). Returns the fitted height
-    or None; models are NOT modified (use apply_height).
+    (any height on their ambiguity manifolds). ``free``: camera indices
+    whose height is being solved (default all); cameras NOT in ``free``
+    have operator-measured heights and stay fixed in the cost — a
+    trusted camera in an overlap pair pins h even harder than two free
+    ones. Returns the fitted height or None; models are NOT modified
+    (use apply_height on the free subset).
     """
+    if free is None:
+        free = set(range(len(models)))
+    else:
+        free = set(free)
+    # observations between two trusted cameras carry no information
+    # about h (their models do not move with it)
+    observations = [o for o in observations if o[0] in free or o[2] in free]
     if not observations:
         return None
 
@@ -71,7 +83,8 @@ def height_from_shared_objects(
         for cam_a, px_a, cam_b, px_b, obj_z in observations:
             for c in (cam_a, cam_b):
                 if c not in ms:
-                    ms[c] = _scaled_model(models[c], h)
+                    ms[c] = (_scaled_model(models[c], h)
+                             if c in free else models[c])
             pa = ms[cam_a].image2field(np.asarray(px_a, float)[None, :], obj_z)[0]
             pb = ms[cam_b].image2field(np.asarray(px_b, float)[None, :], obj_z)[0]
             total += float(np.sum((pa[:2] - pb[:2]) ** 2))

@@ -215,7 +215,10 @@ def warp_fits(model, field_scale, field_offset, out_shape, plane_shape,
     if ((dv == 0) & ~(sat[:-1] | sat[1:])).any():
         return False
 
-    def span_ok(pos, blk_rows, n_src):
+    def span_ok(pos):
+        # window starts are clipped to [0, n_src - WIN] by _block_starts,
+        # which only shifts windows (pos itself is already clipped into
+        # the source plane) — the span bound is the sole fit criterion
         n_out, c = pos.shape
         cp = _pad_to(c, LAN)
         pos = np.pad(pos, ((0, 0), (0, cp - c)), mode="edge")
@@ -234,7 +237,37 @@ def warp_fits(model, field_scale, field_offset, out_shape, plane_shape,
             pos1[c] = np.interp(vs, vc + ramp, uc)
         else:
             pos1[c] = np.interp(-vs, -vc + ramp, uc)
-    return span_ok(pos1, BLK, w2) and span_ok(v[:, :wf], BLK, h2)
+    return span_ok(pos1) and span_ok(v[:, :wf])
+
+
+def cameras_fit_warp(entries, out_shape, plane_shape) -> bool:
+    """warp_fits over a rig: entries are (model, field_scale,
+    field_offset, max_bot_height) per camera; True iff EVERY camera's
+    geometry admits the separable warp."""
+    return all(
+        warp_fits(model, scale, offset, out_shape, plane_shape, zmax)
+        for model, scale, offset, zmax in entries
+    )
+
+
+def resolve_resample_mode(requested: str, entries, out_shape,
+                          plane_shape) -> str:
+    """The single auto-resolution used by Processor, MultiCamApp and the
+    bench rig: "auto" becomes "warp" when running on TPU and every
+    camera passes warp_fits, else the bit-exact "gather" (on CPU the
+    Pallas kernel would run in interpret mode — tests and tooling keep
+    the gather). Non-"auto" requests pass through unchanged."""
+    if requested != "auto":
+        return requested
+    if jax.default_backend() != "tpu":
+        return "gather"
+    if cameras_fit_warp(entries, out_shape, plane_shape):
+        return "warp"
+    from ..utils.log import get_logger
+
+    get_logger(__name__).info(
+        "warp_fits rejected the geometry; gather resample")
+    return "gather"
 
 
 # ---------------------------------------------------------------------------

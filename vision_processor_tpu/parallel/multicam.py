@@ -308,7 +308,7 @@ def batched_step(cfg: MultiCamConfig):
         tracked = tracked_from_summaries(
             cfg.det, prev_summary, params["tracked_time_delta"],
             prev_summaries=prev_prev_summary,
-            bot_heights=params.get("bot_heights"),
+            bot_heights=params.get("bot_heights_yb"),
         )
         # cameras are unrolled rather than vmapped: XLA lowers BATCHED
         # gathers (the resampling + hypothesis lookups) ~2.5x slower than
@@ -440,7 +440,7 @@ def sharded_step(cfg: MultiCamConfig, mesh: Mesh, fused: bool = False):
         cam0 = jax.lax.axis_index(CAM_AXIS) * n_local
         tracked = tracked_from_summaries(
             cfg.det, prev_gathered, params["tracked_time_delta"],
-            bot_heights=params.get("bot_heights"),
+            bot_heights=params.get("bot_heights_yb"),
         )
         outs = [
             _single_cam_step(
@@ -564,7 +564,7 @@ def sharded_rollout(cfg: MultiCamConfig, mesh: Mesh, n_frames: int):
             tracked = tracked_from_summaries(
                 cfg.det, gathered, params["tracked_time_delta"],
                 prev_summaries=prev_gathered,
-                bot_heights=params.get("bot_heights"),
+                bot_heights=params.get("bot_heights_yb"),
             )
             outs = [
                 _single_cam_step(
