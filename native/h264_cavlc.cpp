@@ -1380,23 +1380,261 @@ static const uint8_t kInterCbpCode[48] = {
     1,  32, 33, 36, 34, 37, 44, 40, 35, 45, 38, 41, 39, 42, 43, 19,
     6,  24, 25, 20, 26, 21, 46, 28, 27, 47, 22, 29, 23, 30, 31, 12};
 
-// One P slice: MB rows [my0, my1). Every macroblock predicts from the
-// co-located reference MB (motion vector (0,0), refIdx 0): a macroblock
-// whose residual quantizes to zero is a P_Skip (the skip-derived MV is
-// (0,0) here because every coded MV in the stream is zero, so the
-// left/top/median predictors are all zero); anything else is coded as
-// P_L0_16x16 with mvd (0,0) and plain 4x4 luma residuals (no Intra_16x16
-// DC split in inter MBs), with the per-MB I_PCM rewind fallback (mb_type
-// 30 in P slices) bounding the worst case. ref_* must not alias the
-// recon planes (residuals read the reference after earlier MBs already
+// ---------------------------------------------------------------------------
+// motion vectors: per-MB storage, spec prediction, integer-pel search
+// ---------------------------------------------------------------------------
+
+// Per-MB motion state for one P picture. MVs are stored in quarter-pel
+// units (always multiples of 4 here: the search is integer-pel, so luma
+// prediction is a shifted copy and chroma fractions stay in {0, 4}
+// eighths — no 6-tap luma interpolation anywhere). Slices only read rows
+// >= their own my0, so the arrays are safely shared across slice threads.
+struct MvCtx {
+    int16_t* mv;    // (mbs_y * mbs_x * 2) quarter-pel
+    uint8_t* ok;    // 1 = inter MB with refIdxL0 0; 0 = intra (I_PCM)
+    int mbs_x;
+    int my0;        // first MB row of this slice (neighbors above are
+                    // unavailable, matching the decoder's slice bounds)
+};
+
+struct MvNb {
+    bool avail;     // MB available (in picture and slice)
+    bool r0;        // inter-coded with refIdxL0 == 0
+    int16_t mv[2];
+};
+
+static inline MvNb mv_neighbor(const MvCtx& m, int nx, int ny) {
+    MvNb n{false, false, {0, 0}};
+    if (nx < 0 || nx >= m.mbs_x || ny < m.my0) return n;
+    n.avail = true;
+    const int idx = ny * m.mbs_x + nx;
+    if (m.ok[idx]) {
+        n.r0 = true;
+        n.mv[0] = m.mv[2 * idx];
+        n.mv[1] = m.mv[2 * idx + 1];
+    }
+    return n;
+}
+
+// Luma MV prediction for a 16x16 partition (8.4.1.3): median of the
+// left/up/up-right neighbors, with the C->D substitution (8.4.1.3.2),
+// the single-matching-refIdx shortcut, and the A-only first-row rule.
+// Intra and unavailable neighbors contribute mv (0,0) with refIdx -1.
+static void mv_pred_16x16(const MvCtx& m, int mx, int my, int16_t mvp[2]) {
+    const MvNb A = mv_neighbor(m, mx - 1, my);
+    const MvNb B = mv_neighbor(m, mx, my - 1);
+    const MvNb C0 = mv_neighbor(m, mx + 1, my - 1);
+    const MvNb D = mv_neighbor(m, mx - 1, my - 1);
+    if (!B.avail && !C0.avail && !D.avail && A.avail) {
+        mvp[0] = A.mv[0];
+        mvp[1] = A.mv[1];
+        return;
+    }
+    const MvNb& C = C0.avail ? C0 : D;
+    const int n_r0 = int(A.r0) + int(B.r0) + int(C.r0);
+    if (n_r0 == 1) {
+        const MvNb& N = A.r0 ? A : (B.r0 ? B : C);
+        mvp[0] = N.mv[0];
+        mvp[1] = N.mv[1];
+        return;
+    }
+    for (int i = 0; i < 2; ++i) {
+        const int16_t a = A.mv[i], b = B.mv[i], c = C.mv[i];
+        const int16_t lo = a < b ? a : b, hi = a < b ? b : a;
+        mvp[i] = c < lo ? lo : (c > hi ? hi : c);
+    }
+}
+
+// P_Skip motion vector (8.4.1.1): zero if the left or up neighbor is
+// unavailable or is a zero-MV refIdx-0 block, else the 16x16 prediction.
+static void mv_skip(const MvCtx& m, int mx, int my, int16_t mv[2]) {
+    const MvNb A = mv_neighbor(m, mx - 1, my);
+    const MvNb B = mv_neighbor(m, mx, my - 1);
+    if (!A.avail || !B.avail || (A.r0 && !A.mv[0] && !A.mv[1])
+        || (B.r0 && !B.mv[0] && !B.mv[1])) {
+        mv[0] = mv[1] = 0;
+        return;
+    }
+    mv_pred_16x16(m, mx, my, mv);
+}
+
+static inline int clampi(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// 16x16 luma prediction at an integer-pel MV (quarter-pel units, multiple
+// of 4), edge-clamped exactly like the decoder (8.4.2.2.1 clips reference
+// coordinates into the picture).
+static void pred_luma_16x16(const uint8_t* ref, int width, int height,
+                            int x0, int y0, int qx, int qy,
+                            uint8_t out[256]) {
+    const int bx = x0 + (qx >> 2), by = y0 + (qy >> 2);
+    if (bx >= 0 && by >= 0 && bx + 16 <= width && by + 16 <= height) {
+        for (int r = 0; r < 16; ++r)
+            memcpy(out + r * 16, ref + size_t(by + r) * width + bx, 16);
+        return;
+    }
+    for (int r = 0; r < 16; ++r) {
+        const int yy = clampi(by + r, 0, height - 1);
+        for (int c = 0; c < 16; ++c)
+            out[r * 16 + c] = ref[size_t(yy) * width
+                                  + clampi(bx + c, 0, width - 1)];
+    }
+}
+
+// 8x8 chroma prediction (8.4.2.2.2, ChromaArrayType 1): the chroma MV is
+// the luma MV in eighth-chroma-sample units; integer-pel luma MVs leave
+// fractions in {0, 4}, handled by the standard bilinear filter.
+static void pred_chroma_8x8(const uint8_t* ref, int cw, int ch,
+                            int cx0, int cy0, int qx, int qy,
+                            uint8_t out[64]) {
+    const int xi = qx >> 3, yi = qy >> 3;
+    const int xf = qx & 7, yf = qy & 7;
+    const int bx = cx0 + xi, by = cy0 + yi;
+    if (!xf && !yf) {
+        if (bx >= 0 && by >= 0 && bx + 8 <= cw && by + 8 <= ch) {
+            for (int r = 0; r < 8; ++r)
+                memcpy(out + r * 8, ref + size_t(by + r) * cw + bx, 8);
+        } else {
+            for (int r = 0; r < 8; ++r) {
+                const int yy = clampi(by + r, 0, ch - 1);
+                for (int c = 0; c < 8; ++c)
+                    out[r * 8 + c] = ref[size_t(yy) * cw
+                                         + clampi(bx + c, 0, cw - 1)];
+            }
+        }
+        return;
+    }
+    for (int r = 0; r < 8; ++r) {
+        const int y0c = clampi(by + r, 0, ch - 1);
+        const int y1c = clampi(by + r + 1, 0, ch - 1);
+        for (int c = 0; c < 8; ++c) {
+            const int x0c = clampi(bx + c, 0, cw - 1);
+            const int x1c = clampi(bx + c + 1, 0, cw - 1);
+            const int a = ref[size_t(y0c) * cw + x0c];
+            const int b = ref[size_t(y0c) * cw + x1c];
+            const int cc = ref[size_t(y1c) * cw + x0c];
+            const int d = ref[size_t(y1c) * cw + x1c];
+            out[r * 8 + c] = uint8_t(((8 - xf) * (8 - yf) * a
+                                      + xf * (8 - yf) * b
+                                      + (8 - xf) * yf * cc
+                                      + xf * yf * d + 32) >> 6);
+        }
+    }
+}
+
+// se(v) Exp-Golomb bit length, for the mvd rate term of the search cost.
+static inline int se_bits(int v) {
+    const uint32_t cn = v > 0 ? uint32_t(2 * v - 1) : uint32_t(-2 * v);
+    int b = 0;
+    for (uint32_t t = cn + 1; t > 1; t >>= 1) ++b;
+    return 2 * b + 1;
+}
+
+// Integer-pel block-matching search for one 16x16 luma partition:
+// candidate seeds (skip MV, predictor, left/up neighbors, zero) followed
+// by a greedy small-diamond refinement, costed as SAD + lambda * mvd
+// bits. Returns a quarter-pel MV (multiple of 4) in out. Early-exits on
+// an exact skip match (SAD 0 at the skip MV: the MB becomes a P_Skip).
+static void motion_search(const uint8_t* src, const uint8_t* ref,
+                          int width, int height, int x0, int y0,
+                          const int16_t mvskip[2], const int16_t mvp[2],
+                          const MvCtx& m, int mx, int my,
+                          int range_px, int lam, int16_t out[2]) {
+    const uint8_t* s0 = src + size_t(y0) * width + x0;
+    const int r4 = range_px * 4;
+
+    auto sad_at = [&](int qx, int qy) -> int32_t {
+        const int bx = x0 + (qx >> 2), by = y0 + (qy >> 2);
+        int32_t acc = 0;
+        if (bx >= 0 && by >= 0 && bx + 16 <= width && by + 16 <= height) {
+            const uint8_t* r = ref + size_t(by) * width + bx;
+            for (int rr = 0; rr < 16; ++rr)
+                for (int cc = 0; cc < 16; ++cc)
+                    acc += std::abs(int32_t(s0[rr * width + cc])
+                                    - int32_t(r[rr * width + cc]));
+            return acc;
+        }
+        for (int rr = 0; rr < 16; ++rr) {
+            const int yy = clampi(by + rr, 0, height - 1);
+            for (int cc = 0; cc < 16; ++cc)
+                acc += std::abs(
+                    int32_t(s0[rr * width + cc])
+                    - int32_t(ref[size_t(yy) * width
+                                  + clampi(bx + cc, 0, width - 1)]));
+        }
+        return acc;
+    };
+    auto cost_at = [&](int qx, int qy) -> int64_t {
+        return int64_t(sad_at(qx, qy))
+               + int64_t(lam) * (se_bits(qx - mvp[0]) + se_bits(qy - mvp[1]));
+    };
+
+    // skip MV first: an exact match short-circuits everything
+    if (sad_at(mvskip[0], mvskip[1]) == 0) {
+        out[0] = mvskip[0];
+        out[1] = mvskip[1];
+        return;
+    }
+
+    const MvNb A = mv_neighbor(m, mx - 1, my);
+    const MvNb B = mv_neighbor(m, mx, my - 1);
+    const int16_t cands[5][2] = {
+        {0, 0},
+        {mvp[0], mvp[1]},
+        {mvskip[0], mvskip[1]},
+        {A.mv[0], A.mv[1]},
+        {B.mv[0], B.mv[1]},
+    };
+    int bx = 0, by = 0;
+    int64_t best = cost_at(0, 0);
+    for (int i = 1; i < 5; ++i) {
+        const int cx = clampi(cands[i][0], -r4, r4) & ~3;
+        const int cy = clampi(cands[i][1], -r4, r4) & ~3;
+        if (cx == bx && cy == by) continue;
+        const int64_t c = cost_at(cx, cy);
+        if (c < best) { best = c; bx = cx; by = cy; }
+    }
+    // greedy diamond, 1 px steps, bounded by the search range
+    for (int it = 0; it < 2 * range_px; ++it) {
+        int nbx = bx, nby = by;
+        int64_t nbest = best;
+        static const int kD[4][2] = {{4, 0}, {-4, 0}, {0, 4}, {0, -4}};
+        for (const auto& d : kD) {
+            const int cx = bx + d[0], cy = by + d[1];
+            if (cx < -r4 || cx > r4 || cy < -r4 || cy > r4) continue;
+            const int64_t c = cost_at(cx, cy);
+            if (c < nbest) { nbest = c; nbx = cx; nby = cy; }
+        }
+        if (nbx == bx && nby == by) break;
+        bx = nbx; by = nby; best = nbest;
+    }
+    out[0] = int16_t(bx);
+    out[1] = int16_t(by);
+}
+
+// One P slice: MB rows [my0, my1). Each macroblock predicts from the
+// reference picture at a motion vector chosen by the integer-pel search
+// (me_range 0 = zero-motion tier: every MV is (0,0) and the bitstream is
+// identical to the pre-search encoder, since all predictors collapse to
+// zero). A macroblock whose residual quantizes to zero AND whose MV
+// equals the P_Skip-derived MV (8.4.1.1) is a P_Skip; anything else is
+// coded as P_L0_16x16 with mvd against the median predictor (8.4.1.3)
+// and plain 4x4 luma residuals (no Intra_16x16 DC split in inter MBs),
+// with the per-MB I_PCM rewind fallback (mb_type 30 in P slices)
+// bounding the worst case. ref_* must not alias the recon planes
+// (residuals read the reference after earlier MBs already
 // reconstructed).
 static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                            const uint8_t* v, const uint8_t* ref_y,
                            const uint8_t* ref_u, const uint8_t* ref_v,
-                           int width, int cw, int mbs_x, int my0, int my1,
+                           int width, int height, int cw, int mbs_x,
+                           int my0, int my1,
                            const QuantParams& q, int qp, int frame_num,
                            PlaneCtx py, PlaneCtx pu, PlaneCtx pv,
-                           int pcm_mode, BitWriter& w) {
+                           int pcm_mode, MvCtx mctx, int me_range,
+                           int lam, BitWriter& w) {
+    const int ch = height / 2;
     uint8_t* ry = py.recon;
     int16_t* nnz_y = py.nnz;
     // slice header (7.3.3): non-IDR reference picture, one L0 reference
@@ -1415,20 +1653,37 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
         for (int mx = 0; mx < mbs_x; ++mx) {
             const int x0 = mx * 16, y0 = my * 16;
             const int cx0 = mx * 8, cy0 = my * 8;
+            const int mb_idx = my * mbs_x + mx;
 
-            // ---- luma residual: 16 plain 4x4 blocks vs the reference ----
+            // ---- motion vector: skip-derived, predictor, search ----
+            int16_t mvskip[2], mvp[2], mv[2] = {0, 0};
+            mv_skip(mctx, mx, my, mvskip);
+            mv_pred_16x16(mctx, mx, my, mvp);
+            if (me_range > 0)
+                motion_search(y, ref_y, width, height, x0, y0, mvskip,
+                              mvp, mctx, mx, my, me_range, lam, mv);
+
+            // prediction blocks at the chosen MV (shifted copies for the
+            // integer-pel luma MV; {0,4}-fraction bilinear for chroma)
+            uint8_t predY[256], predU[64], predV[64];
+            pred_luma_16x16(ref_y, width, height, x0, y0, mv[0], mv[1],
+                            predY);
+            pred_chroma_8x8(ref_u, cw, ch, cx0, cy0, mv[0], mv[1], predU);
+            pred_chroma_8x8(ref_v, cw, ch, cx0, cy0, mv[0], mv[1], predV);
+
+            // ---- luma residual: 16 plain 4x4 blocks vs the prediction ----
             int32_t wq[16][16];
             bool any_luma = false;
             uint32_t luma_mask = 0;  // bit b: block b has a nonzero level
             for (int b = 0; b < 16; ++b) {
                 const int bx = kBlkX[b], by = kBlkY[b];
                 const uint8_t* s = y + (y0 + by * 4) * width + x0 + bx * 4;
-                const uint8_t* p = ref_y + (y0 + by * 4) * width + x0 + bx * 4;
+                const uint8_t* p = predY + by * 4 * 16 + bx * 4;
                 int32_t blk[16], tr[16], orr = 0;
                 for (int r = 0; r < 4; ++r)
                     for (int c = 0; c < 4; ++c) {
                         int32_t d = int32_t(s[r * width + c])
-                                    - int32_t(p[r * width + c]);
+                                    - int32_t(p[r * 16 + c]);
                         blk[4 * r + c] = d;
                         orr |= d;
                     }
@@ -1443,9 +1698,9 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                 }
             }
 
-            // ---- chroma residual: 2x2 DC Hadamard + AC, vs reference ----
+            // ---- chroma residual: 2x2 DC Hadamard + AC, vs prediction ----
             const uint8_t* srcs[2] = {u, v};
-            const uint8_t* refs[2] = {ref_u, ref_v};
+            const uint8_t* preds[2] = {predU, predV};
             PlaneCtx* pcs[2] = {&pu, &pv};
             int32_t cwq[2][4][16];
             int32_t cdcq[2][4];
@@ -1456,12 +1711,12 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                 for (int b = 0; b < 4; ++b) {
                     const int sx = (b & 1) * 4, sy = (b >> 1) * 4;
                     const uint8_t* s = srcs[comp] + (cy0 + sy) * cw + cx0 + sx;
-                    const uint8_t* p = refs[comp] + (cy0 + sy) * cw + cx0 + sx;
+                    const uint8_t* p = preds[comp] + sy * 8 + sx;
                     int32_t blk[16], tr[16], orr = 0;
                     for (int r = 0; r < 4; ++r)
                         for (int c = 0; c < 4; ++c) {
                             int32_t d = int32_t(s[r * cw + c])
-                                        - int32_t(p[r * cw + c]);
+                                        - int32_t(p[r * 8 + c]);
                             blk[4 * r + c] = d;
                             orr |= d;
                         }
@@ -1491,17 +1746,15 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
             }
             const int cbp_chroma = c_any_ac ? 2 : (c_any_dc ? 1 : 0);
 
-            // ---- P_Skip: all levels zero -> recon is the reference MB ----
-            if (!any_luma && !cbp_chroma) {
+            // ---- P_Skip: zero residual at the skip-derived MV ----
+            if (!any_luma && !cbp_chroma && mv[0] == mvskip[0]
+                && mv[1] == mvskip[1]) {
                 ++skip_run;
                 for (int r = 0; r < 16; ++r)
-                    memcpy(ry + (y0 + r) * width + x0,
-                           ref_y + (y0 + r) * width + x0, 16);
+                    memcpy(ry + (y0 + r) * width + x0, predY + r * 16, 16);
                 for (int r = 0; r < 8; ++r) {
-                    memcpy(pu.recon + (cy0 + r) * cw + cx0,
-                           ref_u + (cy0 + r) * cw + cx0, 8);
-                    memcpy(pv.recon + (cy0 + r) * cw + cx0,
-                           ref_v + (cy0 + r) * cw + cx0, 8);
+                    memcpy(pu.recon + (cy0 + r) * cw + cx0, predU + r * 8, 8);
+                    memcpy(pv.recon + (cy0 + r) * cw + cx0, predV + r * 8, 8);
                 }
                 for (int z = 0; z < 16; ++z)
                     nnz_y[(my * 4 + kBlkY[z]) * py.blk_w
@@ -1512,10 +1765,13 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                     pu.nnz[by * pu.blk_w + bx] = 0;
                     pv.nnz[by * pv.blk_w + bx] = 0;
                 }
+                mctx.ok[mb_idx] = 1;
+                mctx.mv[2 * mb_idx] = mv[0];
+                mctx.mv[2 * mb_idx + 1] = mv[1];
                 continue;
             }
 
-            // ---- coded MB: skip run, then P_L0_16x16 with mvd (0,0) ----
+            // ---- coded MB: skip run, then P_L0_16x16 with its mvd ----
             w.put_ue(skip_run);
             skip_run = 0;
             // snapshot AFTER the skip run: the I_PCM rewind keeps it
@@ -1528,9 +1784,9 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
             // keeping emitted cbp inside the anchor set of kInterCbpCode
             const int luma_bits = any_luma ? 15 : 0;
             const int cbp = luma_bits | (cbp_chroma << 4);
-            w.put_ue(0);   // mb_type: P_L0_16x16
-            w.put_se(0);   // mvd_l0 x (zero-motion tier)
-            w.put_se(0);   // mvd_l0 y
+            w.put_ue(0);               // mb_type: P_L0_16x16
+            w.put_se(mv[0] - mvp[0]);  // mvd_l0 x
+            w.put_se(mv[1] - mvp[1]);  // mvd_l0 y
             w.put_ue(kInterCbpCode[cbp]);
             if (cbp) w.put_se(0);  // mb_qp_delta
             if (luma_bits) {
@@ -1608,18 +1864,26 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                     memcpy(pv.recon + (cy0 + r) * cw + cx0,
                            v + (cy0 + r) * cw + cx0, 8);
                 }
+                // I_PCM is intra: unavailable for MV prediction (treated
+                // as refIdx -1, mv (0,0) by the neighbor derivations)
+                mctx.ok[mb_idx] = 0;
+                mctx.mv[2 * mb_idx] = 0;
+                mctx.mv[2 * mb_idx + 1] = 0;
                 continue;
             }
+
+            mctx.ok[mb_idx] = 1;
+            mctx.mv[2 * mb_idx] = mv[0];
+            mctx.mv[2 * mb_idx + 1] = mv[1];
 
             // ---- reconstruction (decoder-identical) ----
             for (int b = 0; b < 16; ++b) {
                 const int bx = kBlkX[b], by = kBlkY[b];
                 uint8_t* rb = ry + (y0 + by * 4) * width + x0 + bx * 4;
-                const uint8_t* pb =
-                    ref_y + (y0 + by * 4) * width + x0 + bx * 4;
+                const uint8_t* pb = predY + by * 4 * 16 + bx * 4;
                 if (!(luma_mask & (1u << b))) {
                     for (int r = 0; r < 4; ++r)
-                        memcpy(rb + r * width, pb + r * width, 4);
+                        memcpy(rb + r * width, pb + r * 16, 4);
                     continue;
                 }
                 int32_t d[16], res[16];
@@ -1629,11 +1893,11 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                 for (int r = 0; r < 4; ++r)
                     for (int c = 0; c < 4; ++c)
                         rb[r * width + c] = clip255(
-                            int32_t(pb[r * width + c]) + res[4 * r + c]);
+                            int32_t(pb[r * 16 + c]) + res[4 * r + c]);
             }
             for (int comp = 0; comp < 2; ++comp) {
                 uint8_t* rec = pcs[comp]->recon;
-                const uint8_t* ref = refs[comp];
+                const uint8_t* pred = preds[comp];
                 int32_t c0 = cdcq[comp][0], c1 = cdcq[comp][1];
                 int32_t c2 = cdcq[comp][2], c3 = cdcq[comp][3];
                 int32_t f0 = c0 + c1 + c2 + c3;
@@ -1650,12 +1914,12 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                 for (int b = 0; b < 4; ++b) {
                     const int sx = (b & 1) * 4, sy = (b >> 1) * 4;
                     uint8_t* rb = rec + (cy0 + sy) * cw + cx0 + sx;
-                    const uint8_t* pb = ref + (cy0 + sy) * cw + cx0 + sx;
+                    const uint8_t* pb = pred + sy * 8 + sx;
                     if (dcd[b] == 0
                         && (cbp_chroma < 2
                             || !(cac_mask[comp] & (1u << b)))) {
                         for (int r = 0; r < 4; ++r)
-                            memcpy(rb + r * cw, pb + r * cw, 4);
+                            memcpy(rb + r * cw, pb + r * 8, 4);
                         continue;
                     }
                     int32_t d[16], res[16];
@@ -1665,7 +1929,7 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                     for (int r = 0; r < 4; ++r)
                         for (int c = 0; c < 4; ++c)
                             rb[r * cw + c] = clip255(
-                                int32_t(pb[r * cw + c]) + res[4 * r + c]);
+                                int32_t(pb[r * 8 + c]) + res[4 * r + c]);
                 }
             }
         }
@@ -1799,10 +2063,12 @@ done:
 }
 
 // Encode one I420 frame as a P picture (annex-B [P slice xN]) against the
-// previous frame's reconstruction ref_y/u/v — the zero-motion inter tier:
-// unchanged macroblocks become P_Skip runs, changed ones P_L0_16x16 with
-// mvd (0,0) (the reference's x264 path emits inter frames for the same
-// debug-bitrate reason, reference src/rtpstreamer.cpp:62-93). frame_num
+// previous frame's reconstruction ref_y/u/v. Unchanged macroblocks become
+// P_Skip runs; moving content is chased by an integer-pel block-matching
+// search (VPTPU_ME range, default 24 px; 0 = the zero-motion tier) and
+// coded as P_L0_16x16 with spec median-predicted mvd (the reference's
+// x264 path emits inter frames for the same debug-bitrate reason,
+// reference src/rtpstreamer.cpp:62-93). frame_num
 // is the 4-bit reference-frame counter (IDR resets to 0; callers pass
 // prev+1 mod 16). No SPS/PPS/IDR is emitted. recon_y/u/v (required)
 // receive the spec-exact reconstruction for chaining and MUST be distinct
@@ -1832,13 +2098,32 @@ long vptpu_h264_cavlc_encode_p(const uint8_t* y, const uint8_t* u,
     int16_t* nnz_y = (int16_t*)calloc(size_t(mbs_x * 4) * (mbs_y * 4), 2);
     int16_t* nnz_u = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
     int16_t* nnz_v = (int16_t*)calloc(size_t(mbs_x * 2) * (mbs_y * 2), 2);
+    // per-MB motion state (quarter-pel MVs + refIdx-0 validity) for the
+    // slice-local MV prediction contexts
+    int16_t* mvs = (int16_t*)calloc(size_t(mbs_x) * mbs_y * 2, 2);
+    uint8_t* mv_ok = (uint8_t*)calloc(size_t(mbs_x) * mbs_y, 1);
     int pcm_mode = 1;
     if (const char* pe = getenv("VPTPU_PCM")) {
         if (pe[0] == '0') pcm_mode = 0;
         else if (!strcmp(pe, "force")) pcm_mode = 2;
     }
+    // integer-pel motion search range in pixels (read per call so tests
+    // can toggle): VPTPU_ME=0 restores the zero-motion tier, whose
+    // bitstream the unified path reproduces exactly (all predictors
+    // collapse to zero when every stored MV is zero)
+    int me_range = 24;
+    if (const char* me = getenv("VPTPU_ME")) {
+        me_range = atoi(me);
+        if (me_range < 0) me_range = 0;
+        if (me_range > 64) me_range = 64;
+    }
+    // SAD-domain rate weight for the mvd bits term, as in the intra path
+    int lam = 1;
+    for (int e = 0; e < (qp - 12) / 3; ++e) lam *= 2;
+    lam = qp >= 12 ? (lam * 87 + 50) / 100 : 1;
+    if (lam < 1) lam = 1;
     long rc = -1;
-    if (!nnz_y || !nnz_u || !nnz_v) goto done;
+    if (!nnz_y || !nnz_u || !nnz_v || !mvs || !mv_ok) goto done;
 
     {
         std::vector<long> caps(n_slices), my0s(n_slices), my1s(n_slices);
@@ -1859,9 +2144,11 @@ long vptpu_h264_cavlc_encode_p(const uint8_t* y, const uint8_t* u,
                 PlaneCtx py{recon_y, width, nnz_y, mbs_x * 4, m0 * 4};
                 PlaneCtx pu{recon_u, cw, nnz_u, mbs_x * 2, m0 * 2};
                 PlaneCtx pv{recon_v, cw, nnz_v, mbs_x * 2, m0 * 2};
-                encode_slice_p(y, u, v, ref_y, ref_u, ref_v, width, cw,
-                               mbs_x, m0, m1, q, qp, frame_num, py, pu, pv,
-                               pcm_mode, ws[s]);
+                MvCtx mctx{mvs, mv_ok, mbs_x, m0};
+                encode_slice_p(y, u, v, ref_y, ref_u, ref_v, width, height,
+                               cw, mbs_x, m0, m1, q, qp, frame_num,
+                               py, pu, pv, pcm_mode, mctx, me_range, lam,
+                               ws[s]);
             };
             std::vector<std::thread> threads;
             for (int s = 1; s < n_slices; ++s) threads.emplace_back(run, s);
@@ -1882,6 +2169,7 @@ long vptpu_h264_cavlc_encode_p(const uint8_t* y, const uint8_t* u,
 
 done:
     free(nnz_y); free(nnz_u); free(nnz_v);
+    free(mvs); free(mv_ok);
     return rc;
 }
 

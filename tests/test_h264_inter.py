@@ -138,6 +138,87 @@ def test_pcm_fallback_in_p_slice(tmp_path, monkeypatch):
         assert np.abs(gy.astype(int) - sy.astype(int)).max() <= 2
 
 
+def _panning_frames(n, dx, dy, w=320, h=240, seed=3):
+    """Textured frames translating by (dx, dy) px/frame (cropped from one
+    larger still, so the motion is an exact global pan)."""
+    rng = np.random.default_rng(seed)
+    pad = n * max(abs(dx), abs(dy)) + 16
+    big = rng.integers(0, 255, (h + pad, w + pad, 3)).astype(np.uint8)
+    big = cv2.GaussianBlur(big, (5, 5), 1.2)
+    return [big[t * dy:t * dy + h, t * dx:t * dx + w].copy()
+            for t in range(n)]
+
+
+def test_motion_search_beats_zero_motion(tmp_path, monkeypatch):
+    """A panning textured scene: the integer-pel search rides mvd bits
+    instead of residuals, shrinking P frames well below the zero-motion
+    tier at the same qp — while both streams stay decoder-exact. The
+    (5, 3) pan is odd in both axes, so this also exercises the chroma
+    half-sample bilinear prediction path."""
+    frames_src = _panning_frames(5, 5, 3)
+    h = frames_src[0].shape[0]
+    p_bits = {}
+    for me, env in (("on", None), ("off", "0")):
+        if env is None:
+            monkeypatch.delenv("VPTPU_ME", raising=False)
+        else:
+            monkeypatch.setenv("VPTPU_ME", env)
+        enc = _encoder(qp=24, n_slices=2, gop=5)
+        path = tmp_path / f"me_{me}.h264"
+        total_p = 0
+        with path.open("wb") as fh:
+            for t, bgr in enumerate(frames_src):
+                au = enc.encode_i420(*_to_i420(bgr))
+                if t:
+                    total_p += len(au)
+                fh.write(au)
+        dec = _decode(path)
+        assert len(dec) == 5
+        ry, _, _ = enc.last_recon
+        gy = cv2.cvtColor(dec[-1], cv2.COLOR_BGR2YUV_I420)[:h]
+        assert np.abs(gy.astype(int) - ry.astype(int)).max() <= 2
+        p_bits[me] = total_p
+    assert p_bits["on"] < 0.5 * p_bits["off"], p_bits
+
+
+def test_even_pan_locks_motion(tmp_path, monkeypatch):
+    """An (8, 4) px pan keeps the chroma MV integer, so interior
+    macroblocks predict exactly up to the previous frame's quantization
+    noise: the search must lock the pan (no recon drift) and every P
+    frame must land far below its zero-motion counterpart, which recodes
+    essentially the whole picture (P frames LARGER than the IDR)."""
+    frames_src = _panning_frames(4, 8, 4, seed=11)
+    h = frames_src[0].shape[0]
+
+    def encode(me_env):
+        if me_env is None:
+            monkeypatch.delenv("VPTPU_ME", raising=False)
+        else:
+            monkeypatch.setenv("VPTPU_ME", me_env)
+        enc = _encoder(qp=24, n_slices=1, gop=4)
+        path = tmp_path / f"pan_{me_env or 'on'}.h264"
+        sizes = []
+        with path.open("wb") as fh:
+            for bgr in frames_src:
+                au = enc.encode_i420(*_to_i420(bgr))
+                sizes.append(len(au))
+                fh.write(au)
+        return sizes, path, enc
+
+    sizes_me, path, enc = encode(None)
+    sizes_zm, _, _ = encode("0")
+    dec = _decode(path)
+    assert len(dec) == 4
+    ry, _, _ = enc.last_recon
+    gy = cv2.cvtColor(dec[-1], cv2.COLOR_BGR2YUV_I420)[:h]
+    assert np.abs(gy.astype(int) - ry.astype(int)).max() <= 2
+    # first P frame: the pan rides mvds + noise-level residuals
+    assert sizes_me[1] < sizes_me[0] * 0.2, (sizes_me, sizes_zm)
+    # every P frame at least 3x under the zero-motion tier's
+    assert all(m < z * 0.35 for m, z in zip(sizes_me[1:], sizes_zm[1:])), (
+        sizes_me, sizes_zm)
+
+
 def test_gop_resets_on_shape_change():
     enc = _encoder(qp=24, gop=4)
     a = _base_image(320, 240)

@@ -127,13 +127,17 @@ class H264Encoder:
       bit-exactly the encoder's spec-math reconstruction (deblocking
       signalled off).
 
-    ``gop=N`` (CAVLC tier only) additionally enables the zero-motion
-    inter tier: one IDR every N frames, the rest P pictures coding only
-    macroblocks whose residual against the previous reconstruction
-    survives quantization (P_Skip runs elsewhere) — on mostly-static
-    field content the stream shrinks by roughly the GOP length. The
-    reference's x264 path emits inter frames for the same reason
-    (reference src/rtpstreamer.cpp:62-93).
+    ``gop=N`` (CAVLC tier only) additionally enables the inter tier:
+    one IDR every N frames, the rest P pictures coding only macroblocks
+    whose motion-compensated residual against the previous
+    reconstruction survives quantization (P_Skip runs elsewhere) — on
+    mostly-static field content the stream shrinks by roughly the GOP
+    length. Moving content is chased by an integer-pel block-matching
+    search with spec median MV prediction (VPTPU_ME sets the range in
+    px, default 24; 0 restores the zero-motion tier bit-for-bit),
+    cutting panning-content P frames a further 3-8x. The reference's
+    x264 path emits inter frames for the same reason (reference
+    src/rtpstreamer.cpp:62-93).
 
     All tiers emit fully standard annex-B baseline bitstreams. Frames are
     padded to multiples of 16.

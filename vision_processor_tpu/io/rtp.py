@@ -172,15 +172,23 @@ class RTPStreamer:
     def _pick_codec(self) -> str:
         """native H.264 -> external ffmpeg x264 -> RTP/JPEG (mirrors the
         reference's encoder cascade, reference src/rtpstreamer.cpp:62-93)."""
+        # motion-compensated inter tier: IDR every VPTPU_GOP frames
+        # (default 30 = one per second at the 30 fps stream rate; the
+        # reference's x264 path emits inter frames likewise), P_Skip on
+        # static macroblocks and integer-pel searched MVs on moving ones
+        # — mostly-static field views shrink ~GOP-fold.
+        # VPTPU_GOP=1 restores the all-intra stream. Parsed OUTSIDE the
+        # encoder-probe try: a malformed value must not silently switch
+        # the stream to a different codec path.
+        gop_raw = os.environ.get("VPTPU_GOP", "30") or "1"
+        try:
+            gop = max(1, int(gop_raw))
+        except ValueError:
+            log.warning("invalid VPTPU_GOP=%r; using default 30", gop_raw)
+            gop = 30
         try:
             from .native import H264Encoder
 
-            # zero-motion inter tier: IDR every VPTPU_GOP frames (default
-            # 30 = one per second at the 30 fps stream rate; the
-            # reference's x264 path emits inter frames likewise), P_Skip
-            # elsewhere — mostly-static field views shrink ~GOP-fold.
-            # VPTPU_GOP=1 restores the all-intra stream.
-            gop = int(os.environ.get("VPTPU_GOP", "30") or 1)
             self._encoder = H264Encoder(qp=self.qp, gop=gop)
             return "h264-native"
         except Exception:
