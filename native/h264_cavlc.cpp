@@ -1462,24 +1462,118 @@ static inline int clampi(int v, int lo, int hi) {
     return v < lo ? lo : (v > hi ? hi : v);
 }
 
-// 16x16 luma prediction at an integer-pel MV (quarter-pel units, multiple
-// of 4), edge-clamped exactly like the decoder (8.4.2.2.1 clips reference
-// coordinates into the picture).
+// 16x16 luma prediction at any quarter-pel MV (8.4.2.2.1), edge-clamped
+// exactly like the decoder (reference coordinates clip into the
+// picture). Integer positions are shifted copies; half positions run the
+// 6-tap [1,-5,20,20,-5,1] filter (the center j position filters the
+// unclipped vertical intermediates horizontally, /1024); quarter
+// positions average the two nearest integer/half samples.
 static void pred_luma_16x16(const uint8_t* ref, int width, int height,
                             int x0, int y0, int qx, int qy,
                             uint8_t out[256]) {
     const int bx = x0 + (qx >> 2), by = y0 + (qy >> 2);
-    if (bx >= 0 && by >= 0 && bx + 16 <= width && by + 16 <= height) {
-        for (int r = 0; r < 16; ++r)
-            memcpy(out + r * 16, ref + size_t(by + r) * width + bx, 16);
+    const int xf = qx & 3, yf = qy & 3;
+    if (!xf && !yf) {
+        if (bx >= 0 && by >= 0 && bx + 16 <= width && by + 16 <= height) {
+            for (int r = 0; r < 16; ++r)
+                memcpy(out + r * 16, ref + size_t(by + r) * width + bx, 16);
+            return;
+        }
+        for (int r = 0; r < 16; ++r) {
+            const int yy = clampi(by + r, 0, height - 1);
+            for (int c = 0; c < 16; ++c)
+                out[r * 16 + c] = ref[size_t(yy) * width
+                                      + clampi(bx + c, 0, width - 1)];
+        }
         return;
     }
-    for (int r = 0; r < 16; ++r) {
-        const int yy = clampi(by + r, 0, height - 1);
-        for (int c = 0; c < 16; ++c)
-            out[r * 16 + c] = ref[size_t(yy) * width
-                                  + clampi(bx + c, 0, width - 1)];
+    // clamped source window: rows/cols [-2, 18+2] around the block (the
+    // 6-tap stencil reaches 2 back / 3 forward of each position)
+    uint8_t win[22][22];
+    for (int r = 0; r < 22; ++r) {
+        const int yy = clampi(by + r - 2, 0, height - 1);
+        for (int c = 0; c < 22; ++c)
+            win[r][c] = ref[size_t(yy) * width
+                            + clampi(bx + c - 2, 0, width - 1)];
     }
+    // G: integer grid (17x17 needed for quarter averages); b/h: half
+    // positions; j: center half-half via unclipped vertical sums
+    auto tap6 = [](int a, int b2, int c, int d, int e, int f) {
+        return a - 5 * b2 + 20 * c + 20 * d - 5 * e + f;
+    };
+    int bhalf[17][17], hhalf[17][17], jhalf[17][17];
+    if (xf) {
+        for (int r = 0; r < 17; ++r)
+            for (int c = 0; c < 17; ++c)
+                bhalf[r][c] = clip255((tap6(win[r + 2][c], win[r + 2][c + 1],
+                                            win[r + 2][c + 2],
+                                            win[r + 2][c + 3],
+                                            win[r + 2][c + 4],
+                                            win[r + 2][c + 5]) + 16) >> 5);
+    }
+    if (yf) {
+        for (int r = 0; r < 17; ++r)
+            for (int c = 0; c < 17; ++c)
+                hhalf[r][c] = clip255((tap6(win[r][c + 2], win[r + 1][c + 2],
+                                            win[r + 2][c + 2],
+                                            win[r + 3][c + 2],
+                                            win[r + 4][c + 2],
+                                            win[r + 5][c + 2]) + 16) >> 5);
+    }
+    if (xf && yf) {
+        // cc: unclipped vertical 6-tap intermediates at half-row, for
+        // every horizontal stencil position; j = 6-tap over cc, /1024
+        int cc[17][22];
+        for (int r = 0; r < 17; ++r)
+            for (int c = 0; c < 22; ++c)
+                cc[r][c] = tap6(win[r][c], win[r + 1][c], win[r + 2][c],
+                                win[r + 3][c], win[r + 4][c], win[r + 5][c]);
+        for (int r = 0; r < 17; ++r)
+            for (int c = 0; c < 17; ++c)
+                jhalf[r][c] = clip255((tap6(cc[r][c], cc[r][c + 1],
+                                            cc[r][c + 2], cc[r][c + 3],
+                                            cc[r][c + 4], cc[r][c + 5])
+                                       + 512) >> 10);
+    }
+    auto at = [&](int grid_x, int grid_y, int fx, int fy) -> int {
+        // sample on the {integer, half} lattice: (fx, fy) in {0, 2}
+        if (!fx && !fy) return win[grid_y + 2][grid_x + 2];
+        if (fx && !fy) return bhalf[grid_y][grid_x];
+        if (!fx && fy) return hhalf[grid_y][grid_x];
+        return jhalf[grid_y][grid_x];
+    };
+    // each output pixel: the spec quarter positions are averages of the
+    // two nearest lattice samples (Table 8-12); halves/integers are the
+    // lattice samples themselves
+    const int hx = xf >> 1, hy = yf >> 1;           // nearest-low half flags
+    for (int r = 0; r < 16; ++r)
+        for (int c = 0; c < 16; ++c) {
+            int v;
+            if ((xf & 1) == 0 && (yf & 1) == 0) {
+                v = at(c, r, xf, yf);
+            } else if (yf == 0 || yf == 2) {
+                // horizontal quarter: average horizontally-adjacent
+                // samples at this row's lattice (integer or half row)
+                const int left = at(c, r, 2 * hx, yf);
+                const int right = (xf == 1)
+                    ? at(c, r, 2, yf)
+                    : at(c + 1, r, 0, yf);
+                v = (left + right + 1) >> 1;
+            } else if (xf == 0 || xf == 2) {
+                const int up = at(c, r, xf, 2 * hy);
+                const int dn = (yf == 1)
+                    ? at(c, r, xf, 2)
+                    : at(c, r + 1, xf, 0);
+                v = (up + dn + 1) >> 1;
+            } else {
+                // diagonal quarters e/g/p/r: average of the nearest
+                // horizontal-half and vertical-half samples
+                const int bs = (yf == 1) ? bhalf[r][c] : bhalf[r + 1][c];
+                const int hs = (xf == 1) ? hhalf[r][c] : hhalf[r][c + 1];
+                v = (bs + hs + 1) >> 1;
+            }
+            out[r * 16 + c] = uint8_t(v);
+        }
 }
 
 // 8x8 chroma prediction (8.4.2.2.2, ChromaArrayType 1): the chroma MV is
@@ -1545,8 +1639,17 @@ static void motion_search(const uint8_t* src, const uint8_t* ref,
     const int r4 = range_px * 4;
 
     auto sad_at = [&](int qx, int qy) -> int32_t {
-        const int bx = x0 + (qx >> 2), by = y0 + (qy >> 2);
         int32_t acc = 0;
+        if ((qx | qy) & 3) {
+            uint8_t pred[256];
+            pred_luma_16x16(ref, width, height, x0, y0, qx, qy, pred);
+            for (int rr = 0; rr < 16; ++rr)
+                for (int cc = 0; cc < 16; ++cc)
+                    acc += std::abs(int32_t(s0[rr * width + cc])
+                                    - int32_t(pred[rr * 16 + cc]));
+            return acc;
+        }
+        const int bx = x0 + (qx >> 2), by = y0 + (qy >> 2);
         if (bx >= 0 && by >= 0 && bx + 16 <= width && by + 16 <= height) {
             const uint8_t* r = ref + size_t(by) * width + bx;
             for (int rr = 0; rr < 16; ++rr)
@@ -1613,6 +1716,61 @@ static void motion_search(const uint8_t* src, const uint8_t* ref,
     out[1] = int16_t(by);
 }
 
+// Sub-pel refinement around an integer-pel winner: half (step 2), then
+// quarter (step 1) — each tests the 8 surrounding positions. Runs ONLY
+// on macroblocks whose integer-MV residual survives quantization (the
+// ones that pay bits); skip-bound MBs never reach here. The decision
+// metric is SATD (Hadamard-domain), not SAD: the interpolation acts as
+// a low-pass filter, so on noisy content a fractional MV often has
+// LOWER SAD while its structured residual costs MORE bits after the
+// transform — SAD-based sub-pel picks blur, bloats P frames and breaks
+// the skip chain on integer motion (measured: even-pan P frames 2.4x
+// larger under SAD-decided sub-pel).
+static void subpel_refine(const uint8_t* src, const uint8_t* ref,
+                          int width, int height, int x0, int y0,
+                          const int16_t mvp[2], int range_px, int subpel,
+                          int lam, int16_t mv[2]) {
+    const uint8_t* s0 = src + size_t(y0) * width + x0;
+    const int r4 = range_px * 4;
+    auto scost_at = [&](int qx, int qy) -> int64_t {
+        uint8_t pred[256];
+        pred_luma_16x16(ref, width, height, x0, y0, qx, qy, pred);
+        int64_t acc = 0;
+        for (int b = 0; b < 16; ++b) {
+            const int px = (b & 3) * 4, pyr = (b >> 2) * 4;
+            int32_t blk[16], tr[16];
+            for (int rr = 0; rr < 4; ++rr)
+                for (int cc = 0; cc < 4; ++cc)
+                    blk[4 * rr + cc] =
+                        int32_t(s0[(pyr + rr) * width + px + cc])
+                        - int32_t(pred[(pyr + rr) * 16 + px + cc]);
+            hadamard4x4(blk, tr);
+            for (int i = 0; i < 16; ++i) acc += std::abs(tr[i]);
+        }
+        return ((acc + 1) >> 1)
+               + int64_t(lam) * (se_bits(qx - mvp[0])
+                                 + se_bits(qy - mvp[1]));
+    };
+    int bx = mv[0], by = mv[1];
+    int64_t sbest = scost_at(bx, by);
+    for (int step = 2; step >= 1; --step) {
+        if (subpel < 3 - step) break;
+        int nbx = bx, nby = by;
+        int64_t nbest = sbest;
+        for (int dy = -step; dy <= step; dy += step)
+            for (int dx = -step; dx <= step; dx += step) {
+                if (!dx && !dy) continue;
+                const int cx = bx + dx, cy = by + dy;
+                if (cx < -r4 || cx > r4 || cy < -r4 || cy > r4) continue;
+                const int64_t c = scost_at(cx, cy);
+                if (c < nbest) { nbest = c; nbx = cx; nby = cy; }
+            }
+        bx = nbx; by = nby; sbest = nbest;
+    }
+    mv[0] = int16_t(bx);
+    mv[1] = int16_t(by);
+}
+
 // One P slice: MB rows [my0, my1). Each macroblock predicts from the
 // reference picture at a motion vector chosen by the integer-pel search
 // (me_range 0 = zero-motion tier: every MV is (0,0) and the bitstream is
@@ -1633,7 +1791,7 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                            const QuantParams& q, int qp, int frame_num,
                            PlaneCtx py, PlaneCtx pu, PlaneCtx pv,
                            int pcm_mode, MvCtx mctx, int me_range,
-                           int lam, BitWriter& w) {
+                           int me_subpel, int lam, BitWriter& w) {
     const int ch = height / 2;
     uint8_t* ry = py.recon;
     int16_t* nnz_y = py.nnz;
@@ -1663,88 +1821,119 @@ static void encode_slice_p(const uint8_t* y, const uint8_t* u,
                 motion_search(y, ref_y, width, height, x0, y0, mvskip,
                               mvp, mctx, mx, my, me_range, lam, mv);
 
-            // prediction blocks at the chosen MV (shifted copies for the
-            // integer-pel luma MV; {0,4}-fraction bilinear for chroma)
+            // prediction + residuals at the current MV, recomputable (the
+            // sub-pel pass below may move the MV once)
             uint8_t predY[256], predU[64], predV[64];
-            pred_luma_16x16(ref_y, width, height, x0, y0, mv[0], mv[1],
-                            predY);
-            pred_chroma_8x8(ref_u, cw, ch, cx0, cy0, mv[0], mv[1], predU);
-            pred_chroma_8x8(ref_v, cw, ch, cx0, cy0, mv[0], mv[1], predV);
-
-            // ---- luma residual: 16 plain 4x4 blocks vs the prediction ----
             int32_t wq[16][16];
-            bool any_luma = false;
-            uint32_t luma_mask = 0;  // bit b: block b has a nonzero level
-            for (int b = 0; b < 16; ++b) {
-                const int bx = kBlkX[b], by = kBlkY[b];
-                const uint8_t* s = y + (y0 + by * 4) * width + x0 + bx * 4;
-                const uint8_t* p = predY + by * 4 * 16 + bx * 4;
-                int32_t blk[16], tr[16], orr = 0;
-                for (int r = 0; r < 4; ++r)
-                    for (int c = 0; c < 4; ++c) {
-                        int32_t d = int32_t(s[r * width + c])
-                                    - int32_t(p[r * 16 + c]);
-                        blk[4 * r + c] = d;
-                        orr |= d;
-                    }
-                if (!orr) {
-                    memset(wq[b], 0, sizeof(wq[b]));
-                    continue;
-                }
-                fwd4x4(blk, tr);
-                if (quant_block_full(tr, q, wq[b])) {
-                    any_luma = true;
-                    luma_mask |= 1u << b;
-                }
-            }
-
-            // ---- chroma residual: 2x2 DC Hadamard + AC, vs prediction ----
+            bool any_luma;
+            uint32_t luma_mask;  // bit b: block b has a nonzero level
             const uint8_t* srcs[2] = {u, v};
             const uint8_t* preds[2] = {predU, predV};
             PlaneCtx* pcs[2] = {&pu, &pv};
             int32_t cwq[2][4][16];
             int32_t cdcq[2][4];
-            bool c_any_ac = false, c_any_dc = false;
-            uint32_t cac_mask[2] = {0, 0};
-            for (int comp = 0; comp < 2; ++comp) {
-                int32_t cdc_raw[4];
-                for (int b = 0; b < 4; ++b) {
-                    const int sx = (b & 1) * 4, sy = (b >> 1) * 4;
-                    const uint8_t* s = srcs[comp] + (cy0 + sy) * cw + cx0 + sx;
-                    const uint8_t* p = preds[comp] + sy * 8 + sx;
+            bool c_any_ac, c_any_dc;
+            uint32_t cac_mask[2];
+            int cbp_chroma;
+
+            auto compute_residuals = [&]() {
+                pred_luma_16x16(ref_y, width, height, x0, y0, mv[0], mv[1],
+                                predY);
+                pred_chroma_8x8(ref_u, cw, ch, cx0, cy0, mv[0], mv[1],
+                                predU);
+                pred_chroma_8x8(ref_v, cw, ch, cx0, cy0, mv[0], mv[1],
+                                predV);
+
+                // luma: 16 plain 4x4 blocks vs the prediction
+                any_luma = false;
+                luma_mask = 0;
+                for (int b = 0; b < 16; ++b) {
+                    const int bx = kBlkX[b], by = kBlkY[b];
+                    const uint8_t* s =
+                        y + (y0 + by * 4) * width + x0 + bx * 4;
+                    const uint8_t* p = predY + by * 4 * 16 + bx * 4;
                     int32_t blk[16], tr[16], orr = 0;
                     for (int r = 0; r < 4; ++r)
                         for (int c = 0; c < 4; ++c) {
-                            int32_t d = int32_t(s[r * cw + c])
-                                        - int32_t(p[r * 8 + c]);
+                            int32_t d = int32_t(s[r * width + c])
+                                        - int32_t(p[r * 16 + c]);
                             blk[4 * r + c] = d;
                             orr |= d;
                         }
                     if (!orr) {
-                        cdc_raw[b] = 0;
-                        memset(cwq[comp][b], 0, sizeof(cwq[comp][b]));
+                        memset(wq[b], 0, sizeof(wq[b]));
                         continue;
                     }
                     fwd4x4(blk, tr);
-                    cdc_raw[b] = tr[0];
-                    if (quant_block_ac(tr, q, cwq[comp][b])) {
-                        c_any_ac = true;
-                        cac_mask[comp] |= 1u << b;
+                    if (quant_block_full(tr, q, wq[b])) {
+                        any_luma = true;
+                        luma_mask |= 1u << b;
                     }
                 }
-                int32_t h0 = cdc_raw[0] + cdc_raw[1] + cdc_raw[2] + cdc_raw[3];
-                int32_t h1 = cdc_raw[0] - cdc_raw[1] + cdc_raw[2] - cdc_raw[3];
-                int32_t h2 = cdc_raw[0] + cdc_raw[1] - cdc_raw[2] - cdc_raw[3];
-                int32_t h3 = cdc_raw[0] - cdc_raw[1] - cdc_raw[2] + cdc_raw[3];
-                int32_t hs[4] = {h0, h1, h2, h3};
-                for (int i = 0; i < 4; ++i) {
-                    int32_t lv = (std::abs(hs[i]) * kMF[q.mod][0]
-                                  + 2 * q.f_intra) >> (q.qbits + 1);
-                    cdcq[comp][i] = hs[i] < 0 ? -lv : lv;
-                    if (cdcq[comp][i]) c_any_dc = true;
+
+                // chroma: 2x2 DC Hadamard + AC, vs the prediction
+                c_any_ac = c_any_dc = false;
+                cac_mask[0] = cac_mask[1] = 0;
+                for (int comp = 0; comp < 2; ++comp) {
+                    int32_t cdc_raw[4];
+                    for (int b = 0; b < 4; ++b) {
+                        const int sx = (b & 1) * 4, sy = (b >> 1) * 4;
+                        const uint8_t* s =
+                            srcs[comp] + (cy0 + sy) * cw + cx0 + sx;
+                        const uint8_t* p = preds[comp] + sy * 8 + sx;
+                        int32_t blk[16], tr[16], orr = 0;
+                        for (int r = 0; r < 4; ++r)
+                            for (int c = 0; c < 4; ++c) {
+                                int32_t d = int32_t(s[r * cw + c])
+                                            - int32_t(p[r * 8 + c]);
+                                blk[4 * r + c] = d;
+                                orr |= d;
+                            }
+                        if (!orr) {
+                            cdc_raw[b] = 0;
+                            memset(cwq[comp][b], 0, sizeof(cwq[comp][b]));
+                            continue;
+                        }
+                        fwd4x4(blk, tr);
+                        cdc_raw[b] = tr[0];
+                        if (quant_block_ac(tr, q, cwq[comp][b])) {
+                            c_any_ac = true;
+                            cac_mask[comp] |= 1u << b;
+                        }
+                    }
+                    int32_t h0 =
+                        cdc_raw[0] + cdc_raw[1] + cdc_raw[2] + cdc_raw[3];
+                    int32_t h1 =
+                        cdc_raw[0] - cdc_raw[1] + cdc_raw[2] - cdc_raw[3];
+                    int32_t h2 =
+                        cdc_raw[0] + cdc_raw[1] - cdc_raw[2] - cdc_raw[3];
+                    int32_t h3 =
+                        cdc_raw[0] - cdc_raw[1] - cdc_raw[2] + cdc_raw[3];
+                    int32_t hs[4] = {h0, h1, h2, h3};
+                    for (int i = 0; i < 4; ++i) {
+                        int32_t lv = (std::abs(hs[i]) * kMF[q.mod][0]
+                                      + 2 * q.f_intra) >> (q.qbits + 1);
+                        cdcq[comp][i] = hs[i] < 0 ? -lv : lv;
+                        if (cdcq[comp][i]) c_any_dc = true;
+                    }
+                }
+                cbp_chroma = c_any_ac ? 2 : (c_any_dc ? 1 : 0);
+            };
+            compute_residuals();
+
+            // sub-pel pass: only for macroblocks that will pay bits at
+            // the integer MV (skip-bound MBs — the static bulk — never
+            // pay the interpolation cost)
+            if ((any_luma || cbp_chroma) && me_range > 0 && me_subpel > 0) {
+                int16_t mv2[2] = {mv[0], mv[1]};
+                subpel_refine(y, ref_y, width, height, x0, y0, mvp,
+                              me_range, me_subpel, lam, mv2);
+                if (mv2[0] != mv[0] || mv2[1] != mv[1]) {
+                    mv[0] = mv2[0];
+                    mv[1] = mv2[1];
+                    compute_residuals();
                 }
             }
-            const int cbp_chroma = c_any_ac ? 2 : (c_any_dc ? 1 : 0);
 
             // ---- P_Skip: zero residual at the skip-derived MV ----
             if (!any_luma && !cbp_chroma && mv[0] == mvskip[0]
@@ -2117,6 +2306,15 @@ long vptpu_h264_cavlc_encode_p(const uint8_t* y, const uint8_t* u,
         if (me_range < 0) me_range = 0;
         if (me_range > 64) me_range = 64;
     }
+    // sub-pel refinement depth: 0 = integer-pel only, 1 = half-pel,
+    // 2 = quarter-pel (default; the spec 6-tap/bilinear interpolation is
+    // applied identically in prediction and reconstruction)
+    int me_subpel = 2;
+    if (const char* sp = getenv("VPTPU_SUBPEL")) {
+        me_subpel = atoi(sp);
+        if (me_subpel < 0) me_subpel = 0;
+        if (me_subpel > 2) me_subpel = 2;
+    }
     // SAD-domain rate weight for the mvd bits term, as in the intra path
     int lam = 1;
     for (int e = 0; e < (qp - 12) / 3; ++e) lam *= 2;
@@ -2147,8 +2345,8 @@ long vptpu_h264_cavlc_encode_p(const uint8_t* y, const uint8_t* u,
                 MvCtx mctx{mvs, mv_ok, mbs_x, m0};
                 encode_slice_p(y, u, v, ref_y, ref_u, ref_v, width, height,
                                cw, mbs_x, m0, m1, q, qp, frame_num,
-                               py, pu, pv, pcm_mode, mctx, me_range, lam,
-                               ws[s]);
+                               py, pu, pv, pcm_mode, mctx, me_range,
+                               me_subpel, lam, ws[s]);
             };
             std::vector<std::thread> threads;
             for (int s = 1; s < n_slices; ++s) threads.emplace_back(run, s);

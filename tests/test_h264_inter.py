@@ -219,6 +219,107 @@ def test_even_pan_locks_motion(tmp_path, monkeypatch):
         sizes_me, sizes_zm)
 
 
+def test_subpel_refinement_on_fractional_motion(tmp_path, monkeypatch):
+    """Textured content panning by a fractional pixel per frame: the true
+    motion sits between integer positions, so sub-pel refinement (6-tap
+    half-pel + averaged quarter-pel, SATD-decided) must cut P bits well
+    below integer-only search — and the fractional-MV prediction paths
+    must stay decoder-exact (the sensitive conformance surface: j-center
+    /1024 filtering and the 12 quarter-position averages)."""
+    rng = np.random.default_rng(7)
+    h, w = 240, 320
+    big = rng.integers(0, 255, (h + 40, w + 40, 3)).astype(np.uint8)
+    big = cv2.GaussianBlur(big, (5, 5), 1.1)
+
+    def frame(t):
+        m = np.float32([[1, 0, -(10 + t * 0.25)], [0, 1, -10]])
+        return cv2.warpAffine(big, m, (w, h), flags=cv2.INTER_LANCZOS4)
+
+    p_bits = {}
+    for sp in ("2", "0"):
+        monkeypatch.setenv("VPTPU_SUBPEL", sp)
+        enc = _encoder(qp=24, n_slices=2, gop=6)
+        path = tmp_path / f"sp{sp}.h264"
+        sizes = []
+        with path.open("wb") as fh:
+            for t in range(6):
+                au = enc.encode_i420(*_to_i420(frame(t)))
+                sizes.append(len(au))
+                fh.write(au)
+        p_bits[sp] = sum(sizes[1:])
+        dec = _decode(path)
+        assert len(dec) == 6
+        ry, _, _ = enc.last_recon
+        gy = cv2.cvtColor(dec[-1], cv2.COLOR_BGR2YUV_I420)[:h]
+        assert np.abs(gy.astype(int) - ry.astype(int)).max() <= 2, sp
+    # measured here: quarter-pel ~11.5KB vs integer-only ~28KB (-59%)
+    assert p_bits["2"] < 0.7 * p_bits["0"], p_bits
+
+
+def test_field_content_gop_bitrate(tmp_path):
+    """The production debug-stream configuration (qp 24, GOP, motion
+    search) on realistic field content — moving robots + rolling ball
+    over the synthetic renderer with FRESH sensor noise every frame —
+    must hold a LAN-trivial bitrate: measured ~1.0 Mb/s at 1080p30 for
+    a 10-frame GOP (all-intra tier: ~5.6 Mb/s; I_PCM: ~750 Mb/s), and
+    the stream must decode. Reference src/rtpstreamer.cpp:62-93 streams
+    through a real encoder for the same reason."""
+    from vision_processor_tpu.io.synthetic import (
+        Scene, SceneBall, SceneBot, render_rgb,
+    )
+    from vision_processor_tpu.models.camera import CameraModel
+    from vision_processor_tpu.net.geometry_io import geometry_from_dict
+
+    field_cfg = {"field": {
+        "field_length": 9000, "field_width": 6000, "goal_width": 1000,
+        "goal_depth": 180, "penalty_area_depth": 1000,
+        "penalty_area_width": 2000, "boundary_width": 300,
+        "center_circle_radius": 500, "line_thickness": 10,
+        "ball_radius": 21.5, "max_robot_radius": 90.0,
+    }}
+    geometry = geometry_from_dict(field_cfg).geometry
+    model = CameraModel(
+        focal_length=1300.0, principal_point=np.array([960.0, 540.0]),
+        distortion_k2=0.02, pos=np.array([-2250.0, 0.0, 4500.0]),
+        size=np.array([1920, 1080]),
+    )
+
+    def field_i420(rgb):
+        h, w = rgb.shape[:2]
+        hp = -(-h // 16) * 16
+        if hp != h:   # 1080 -> 1088, as the streamer pads
+            rgb = np.pad(rgb, ((0, hp - h), (0, 0), (0, 0)), mode="edge")
+            h = hp
+        i = cv2.cvtColor(rgb[..., ::-1], cv2.COLOR_BGR2YUV_I420)
+        return (i[:h], i[h:h + h // 4].reshape(h // 2, w // 2),
+                i[h + h // 4:].reshape(h // 2, w // 2))
+
+    enc = _encoder(qp=24, n_slices=8, gop=10)
+    path = tmp_path / "field.h264"
+    sizes = []
+    with path.open("wb") as fh:
+        for t in range(10):
+            # bot at 1.8 m/s -> 60 mm/frame at 30 fps; fresh noise per
+            # frame (seed=t) so the P frames face real sensor noise
+            scene = Scene(
+                bots=[SceneBot(3, "yellow", -2600.0 + 60.0 * t, 400.0,
+                               1.0 + 0.05 * t),
+                      SceneBot(9, "blue", -1800.0, -500.0 + 35.0 * t,
+                               -0.7)],
+                balls=[SceneBall(-3000.0 + 25.0 * t, -900.0)],
+                noise_sigma=1.5, seed=t,
+            )
+            au = enc.encode_i420(*field_i420(
+                render_rgb(model, geometry.field, scene)))
+            sizes.append(len(au))
+            fh.write(au)
+    assert len(_decode(path)) == 10
+    gop_mbps = sum(sizes) * 8 * 3 / 1e6   # 10 frames / (1/3 s) at 30 fps
+    assert gop_mbps < 3.0, (gop_mbps, sizes)
+    # every P frame far under the IDR (conditional replenishment + MVs)
+    assert all(s < sizes[0] // 4 for s in sizes[1:]), sizes
+
+
 def test_gop_resets_on_shape_change():
     enc = _encoder(qp=24, gop=4)
     a = _base_image(320, 240)

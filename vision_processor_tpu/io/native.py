@@ -132,10 +132,12 @@ class H264Encoder:
     whose motion-compensated residual against the previous
     reconstruction survives quantization (P_Skip runs elsewhere) — on
     mostly-static field content the stream shrinks by roughly the GOP
-    length. Moving content is chased by an integer-pel block-matching
-    search with spec median MV prediction (VPTPU_ME sets the range in
-    px, default 24; 0 restores the zero-motion tier bit-for-bit),
-    cutting panning-content P frames a further 3-8x. The reference's
+    length. Moving content is chased by a block-matching search with
+    spec median MV prediction (VPTPU_ME sets the range in px, default
+    24; 0 restores the zero-motion tier bit-for-bit) plus SATD-decided
+    quarter-pel refinement on coded macroblocks (VPTPU_SUBPEL=0/1/2,
+    default 2), cutting panning-content P frames a further 3-8x and
+    fractional-motion content ~2.5x more. The reference's
     x264 path emits inter frames for the same reason (reference
     src/rtpstreamer.cpp:62-93).
 
