@@ -125,6 +125,13 @@ def test_config_defaults_and_load(tmp_path):
     # untouched defaults
     assert cfg.min_confidence == 0.2
     assert cfg.stream_url().endswith("224.5.23.103:10100")
+    assert cfg.stream_bitrate_kbps == 0  # rate control off by default
+
+    path.write_text(yaml.dump(
+        {"cam_id": 3, "stream": {"qp": 20, "bitrate_kbps": 3500}}))
+    cfg = VisionConfig.load(path)
+    assert cfg.stream_qp == 20
+    assert cfg.stream_bitrate_kbps == 3500
 
 
 def test_config_hot_reload(tmp_path):

@@ -320,6 +320,34 @@ def test_field_content_gop_bitrate(tmp_path):
     assert all(s < sizes[0] // 4 for s in sizes[1:]), sizes
 
 
+def test_rate_control_tracks_target(tmp_path):
+    """Frame-level rate control (target_kbps): on busy content the QP
+    must walk to hold the stream near the target — the reference pins
+    its libav codec at a fixed bitrate the same way (reference
+    src/rtpstreamer.cpp:70). Checks convergence to two different
+    targets from the same start QP, plus decodability (per-frame QP
+    changes ride slice_qp_delta)."""
+    frames_src = _panning_frames(40, 3, 2, seed=5)
+    rates = {}
+    for kbps in (600.0, 2400.0):
+        enc = _encoder(qp=24, n_slices=2, gop=10,
+                       target_kbps=kbps, framerate=30.0)
+        path = tmp_path / f"rc{int(kbps)}.h264"
+        sizes = []
+        with path.open("wb") as fh:
+            for bgr in frames_src:
+                au = enc.encode_i420(*_to_i420(bgr))
+                sizes.append(len(au))
+                fh.write(au)
+        assert len(_decode(path)) == 40
+        # steady-state rate over the last 30 frames (one second at 30fps)
+        rates[kbps] = sum(sizes[10:]) * 8 * (30.0 / 30) / 1000.0
+        assert 10 <= enc.qp <= 29
+    assert 0.5 * 600 < rates[600.0] < 1.7 * 600, rates
+    assert 0.5 * 2400 < rates[2400.0] < 1.7 * 2400, rates
+    assert rates[600.0] < rates[2400.0], rates
+
+
 def test_gop_resets_on_shape_change():
     enc = _encoder(qp=24, gop=4)
     a = _base_image(320, 240)

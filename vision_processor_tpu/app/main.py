@@ -47,7 +47,8 @@ class App:
         self.camera = open_camera(cfg.camera)
         self.processor = Processor(cfg, self.socket, self.gc_socket)
         self.streamer = RTPStreamer(cfg.stream_active, cfg.stream_url(),
-                                    qp=cfg.stream_qp)
+                                    qp=cfg.stream_qp,
+                                    bitrate_kbps=cfg.stream_bitrate_kbps)
         self.snapshots = SnapshotWriter()
         self.running = True
         self._last_snapshot = 0.0

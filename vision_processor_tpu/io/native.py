@@ -141,12 +141,20 @@ class H264Encoder:
     x264 path emits inter frames for the same reason (reference
     src/rtpstreamer.cpp:62-93).
 
+    ``target_kbps`` (CAVLC tiers) enables frame-level rate control: the
+    per-frame QP walks inside [10, 29] to hold the stream near the
+    target, via a one-second virtual buffer (the reference pins its
+    libav codec at 3.5 Mb/s the same way, reference
+    src/rtpstreamer.cpp:70; per-frame QP is stream-legal because every
+    slice carries its own slice_qp_delta). Default None = fixed QP.
+
     All tiers emit fully standard annex-B baseline bitstreams. Frames are
     padded to multiples of 16.
     """
 
     def __init__(self, qp: int | None = None, n_slices: int | None = None,
-                 gop: int | None = None):
+                 gop: int | None = None, target_kbps: float | None = None,
+                 framerate: float = 30.0):
         self._lib = load_native()
         if self._lib is None:
             raise RuntimeError("native library unavailable")
@@ -161,12 +169,37 @@ class H264Encoder:
         self._frame_num = 0     # 4-bit H.264 reference frame counter
         self._ref = None        # previous frame's reconstruction planes
         self._new = None        # scratch recon planes for the current frame
+        # frame-level rate control state (virtual buffer, 1 s capacity)
+        self.target_kbps = (float(target_kbps)
+                            if target_kbps and qp is not None else None)
+        self.framerate = float(framerate) if framerate > 0 else 30.0
+        self._rc_debt = 0.0     # bits spent above budget so far
         # slice-parallel CAVLC: one thread per horizontal slice band. The
         # default leaves headroom for the per-camera host finishing threads
         # (the encoder runs on the debug path, not the detection path).
         if n_slices is None:
             n_slices = max(1, min(8, (os.cpu_count() or 2) // 2))
         self.n_slices = int(n_slices)
+
+    def _rc_update(self, frame_bits: float) -> None:
+        """Walk the QP toward the bitrate target: a leaky virtual buffer
+        (capacity = one second of target bits) absorbs the IDR spikes of
+        the GOP structure; persistent over/undershoot steps the QP."""
+        if self.target_kbps is None:
+            return
+        budget = self.target_kbps * 1000.0 / self.framerate
+        cap = self.target_kbps * 1000.0
+        self._rc_debt = max(-cap, min(cap, self._rc_debt
+                                      + frame_bits - budget))
+        if self._rc_debt > 0.6 * cap:
+            self.qp = min(29, self.qp + 2)
+            self._rc_debt -= 0.15 * cap   # don't re-step on the same spike
+        elif self._rc_debt > 0.25 * cap:
+            self.qp = min(29, self.qp + 1)
+            self._rc_debt -= 0.05 * cap
+        elif self._rc_debt < -0.25 * cap:
+            self.qp = max(10, self.qp - 1)
+            self._rc_debt += 0.05 * cap
 
     def _cavlc(self, y, u, v, w, h, ry=None, ru=None, rv=None):
         args = (
@@ -206,6 +239,8 @@ class H264Encoder:
             return self._encode_gop(y, u, v, w, h)
         else:
             n = self._cavlc(y, u, v, w, h)
+            if n > 0:
+                self._rc_update(n * 8.0)
         if n <= 0:
             raise RuntimeError(f"h264 encode failed ({n})")
         self._idr ^= 1
@@ -237,6 +272,7 @@ class H264Encoder:
             )
         if n <= 0:
             raise RuntimeError(f"h264 encode failed ({n})")
+        self._rc_update(n * 8.0)
         self._ref, self._new = self._new, self._ref
         self._gop_idx = (self._gop_idx + 1) % self.gop
         return self._out[:n].tobytes()

@@ -148,7 +148,8 @@ class RTPStreamer:
     """Encoder thread + RTP packetizer, ~30 fps pacing, latest frame only."""
 
     def __init__(self, active: bool, url: str, framerate: float = 30.0,
-                 codec: str | None = None, qp: int = 24):
+                 codec: str | None = None, qp: int = 24,
+                 bitrate_kbps: float = 0):
         self.active = active
         self.url = url
         self.framerate = framerate
@@ -156,6 +157,15 @@ class RTPStreamer:
         # default, <50 Mb/s at 1080p30 on camera content); qp 0 selects
         # lossless I_PCM (~750 Mb/s at 1080p30 — capture only)
         self.qp = int(qp) if qp else None
+        # target bitrate (frame-level QP rate control); VPTPU_KBPS
+        # overrides, 0 = fixed QP
+        env_kbps = os.environ.get("VPTPU_KBPS", "")
+        try:
+            self.bitrate_kbps = float(env_kbps) if env_kbps \
+                else float(bitrate_kbps or 0)
+        except ValueError:
+            log.warning("invalid VPTPU_KBPS=%r; using fixed QP", env_kbps)
+            self.bitrate_kbps = 0.0
         self._slot = _LatestSlot()
         self._seq = 0
         self._ssrc = np.random.randint(0, 2**31)
@@ -189,7 +199,11 @@ class RTPStreamer:
         try:
             from .native import H264Encoder
 
-            self._encoder = H264Encoder(qp=self.qp, gop=gop)
+            self._encoder = H264Encoder(
+                qp=self.qp, gop=gop,
+                target_kbps=self.bitrate_kbps or None,
+                framerate=self.framerate,
+            )
             return "h264-native"
         except Exception:
             pass

@@ -120,6 +120,11 @@ class VisionConfig:
     # H.264 debug-stream QP (CAVLC intra tier, 10-29); 0 selects the
     # lossless I_PCM tier (~12 bits/px — capture only, LAN-hostile)
     stream_qp: int = 24
+    # target debug-stream bitrate in kbit/s: frame-level rate control
+    # walks the QP inside [10, 29] to hold it (the reference pins its
+    # libav codec at 3500 kbps, reference src/rtpstreamer.cpp:70);
+    # 0 = fixed QP (stream_qp)
+    stream_bitrate_kbps: int = 0
 
     # debug (live)
     ground_truth: str = "gt.yml"
@@ -196,6 +201,7 @@ class VisionConfig:
         self.stream_ip_base_end = _get(st, "ip_base_end", 100)
         self.stream_port = _get(st, "port", 10100)
         self.stream_qp = _get(st, "qp", 24)
+        self.stream_bitrate_kbps = _get(st, "bitrate_kbps", 0)
 
         dbg = _get(raw, "debug", {}) or {}
         self.ground_truth = _get(dbg, "ground_truth", "gt.yml")
