@@ -70,7 +70,8 @@ class MultiCamApp:
         # loop feeds them round-robin (one camera's views per frame-set),
         # so an N-camera rig streams each camera at frame_rate/N
         self.streamers = [
-            RTPStreamer(c.stream_active, c.stream_url(), qp=c.stream_qp)
+            RTPStreamer(c.stream_active, c.stream_url(), qp=c.stream_qp,
+                        bitrate_kbps=c.stream_bitrate_kbps)
             for c in self.configs
         ]
         self.snapshots = SnapshotWriter()
@@ -111,6 +112,11 @@ class MultiCamApp:
         self.pipeline = os.environ.get("VPTPU_PIPELINE", "1") != "0"
         self._pending = None
         self._colors_dev = None
+        # graceful degradation state: last good frame per camera (to keep
+        # the batched program's shape through a camera outage) and the
+        # previous iteration's stale flags (for transition logging)
+        self._last_frames = None
+        self._stale_prev = [False] * self.n_cams
 
         if cfg0.wait_for_geometry:
             log.info("Waiting for geometry on %d sockets...", self.n_cams)
@@ -306,11 +312,14 @@ class MultiCamApp:
             )
         return blobs, det, fin
 
-    def finish_frames(self, out, now: float, frames):
+    def finish_frames(self, out, now: float, frames, stale=None):
         """Per-camera host finishing for one dispatched frame-set —
         independent per camera (separate Processor state, separate
         sockets), fanned out on the reader pool; with the in-graph
-        finisher it is protobuf assembly only."""
+        finisher it is protobuf assembly only. ``stale[c]`` marks a
+        camera whose frame is a reused last-good one (outage): its
+        per-camera state still advances, but nothing is sent for it and
+        its slot in the returned list is None."""
         blobs, det, fin = out
 
         def finish_one(c):
@@ -329,6 +338,9 @@ class MultiCamApp:
             wrapper, _, _ = proc.finish_frame(
                 per_cam, now, frames[c].timestamp
             )
+            if stale is not None and stale[c]:
+                return None   # outage: recomputed-stale detections stay off
+                              # the wire (consumers would treat them as new)
             wrapper.detection.t_sent = self.cameras[c].get_time()
             self.sockets[c].send(wrapper)
             self.sockets[c].update_time()
@@ -379,6 +391,8 @@ class MultiCamApp:
 
         dets = {}
         for c, wrapper in enumerate(wrappers):
+            if wrapper is None:   # camera outage: nothing was emitted
+                continue
             det = wrapper.detection
             model = self.processors[c].perspective.model
             entries = []
@@ -481,9 +495,9 @@ class MultiCamApp:
         """Finish the in-flight frame-set, if any; returns its wrappers."""
         if self._pending is None:
             return None
-        out, fnow, fframes = self._pending
+        out, fnow, fframes, fstale = self._pending
         self._pending = None
-        return self.finish_frames(out, fnow, fframes)
+        return self.finish_frames(out, fnow, fframes, fstale)
 
     def run(self):
         frame_id = 0
@@ -492,8 +506,32 @@ class MultiCamApp:
                 if cfg.reload_if_changed():
                     proc.apply_tunables()
             frames = self._read_all()
-            if any(f is None for f in frames):
-                break
+            alive = [f is not None for f in frames]
+            if not any(alive):
+                break   # every stream ended
+            if not all(alive):
+                # graceful degradation: one dead or hiccuping camera must
+                # not take down the fleet (the reference's
+                # process-per-camera model keeps the others alive). Reuse
+                # the camera's last frame to keep the batched program's
+                # shape and suppress its detections on the wire; a camera
+                # that never delivered a frame is fatal (no batch shape).
+                if self._last_frames is None or any(
+                        not a and self._last_frames[c] is None
+                        for c, a in enumerate(alive)):
+                    break
+                frames = [f if a else self._last_frames[c]
+                          for c, (f, a) in enumerate(zip(frames, alive))]
+            stale = [not a for a in alive]
+            for c, s in enumerate(stale):
+                if s and not self._stale_prev[c]:
+                    log.warning(
+                        "camera %d delivered no frame; reusing its last "
+                        "frame and suppressing its detections", c)
+                elif not s and self._stale_prev[c]:
+                    log.info("camera %d recovered", c)
+            self._stale_prev = stale
+            self._last_frames = frames
             frame_id += 1
             now = self.cameras[0].get_time()
             real_start = get_real_time()
@@ -515,9 +553,9 @@ class MultiCamApp:
                     continue
                 if self.pipeline:
                     wrappers = self._finish_pending()
-                    self._pending = (out, now, frames)
+                    self._pending = (out, now, frames, stale)
                 else:
-                    wrappers = self.finish_frames(out, now, frames)
+                    wrappers = self.finish_frames(out, now, frames, stale)
             except Exception:
                 log.exception("frame set %d failed, continuing", frame_id)
                 self._pending = None
