@@ -1385,10 +1385,12 @@ static const uint8_t kInterCbpCode[48] = {
 // ---------------------------------------------------------------------------
 
 // Per-MB motion state for one P picture. MVs are stored in quarter-pel
-// units (always multiples of 4 here: the search is integer-pel, so luma
-// prediction is a shifted copy and chroma fractions stay in {0, 4}
-// eighths — no 6-tap luma interpolation anywhere). Slices only read rows
-// >= their own my0, so the arrays are safely shared across slice threads.
+// units: the base search is integer-pel (multiples of 4 — shifted-copy
+// luma prediction), and subpel_refine (VPTPU_SUBPEL, default on) stores
+// arbitrary quarter-pel values, predicted through the full 8.4.2.2.1
+// 6-tap/average interpolation and the general eighth-pel chroma
+// bilinear. Slices only read rows >= their own my0, so the arrays are
+// safely shared across slice threads.
 struct MvCtx {
     int16_t* mv;    // (mbs_y * mbs_x * 2) quarter-pel
     uint8_t* ok;    // 1 = inter MB with refIdxL0 0; 0 = intra (I_PCM)

@@ -160,6 +160,23 @@ def test_pair_calibration_trusted_camera_pins_height():
     assert models[1].focal_length == true_models[1].focal_length
 
 
+def test_free_height_camera_selection():
+    """The production trust set: only operator-MEASURED nonzero heights
+    anchor the rig solve. Explicit 0.0 (calibrate me) and an omitted
+    camera_height (arbitrary manifold height from the degenerate
+    single-camera fit) are both free to move."""
+    from types import SimpleNamespace
+
+    from vision_processor_tpu.app.multicam_app import free_height_cameras
+
+    cfgs = [
+        SimpleNamespace(camera_height=0.0, camera_height_set=True),
+        SimpleNamespace(camera_height=3900.0, camera_height_set=True),
+        SimpleNamespace(camera_height=0.0, camera_height_set=False),
+    ]
+    assert free_height_cameras(cfgs) == {0, 2}
+
+
 def test_pair_calibration_all_trusted_is_no_information():
     """Observations between two trusted cameras carry no information
     about h (their models do not move with it) — the solver must refuse

@@ -36,6 +36,16 @@ from .processor import Processor, TrackedArrays
 log = get_logger(__name__)
 
 
+def free_height_cameras(configs) -> set:
+    """Camera indices whose height the pair solver may move: everything
+    except operator-MEASURED nonzero camera_heights. A camera whose
+    geometry section omits camera_height carries an arbitrary manifold
+    height from the ill-conditioned single-camera fit — anchoring on it
+    would pin the rig solve to a wrong value, so it is free too."""
+    return {i for i, c in enumerate(configs)
+            if not (c.camera_height_set and c.camera_height != 0.0)}
+
+
 class MultiCamApp:
     """N-camera production loop on one chip."""
 
@@ -79,7 +89,9 @@ class MultiCamApp:
         self._jax = jax
         self._step = None
         self._geom_key = None
-        self._pool = ThreadPoolExecutor(self.n_cams)
+        # +1 worker: a stale camera's in-flight blocking read must not
+        # steal a slot from the healthy cameras' reads/finishing
+        self._pool = ThreadPoolExecutor(self.n_cams + 1)
         self.running = True
 
         # automated rig-height calibration (reference config.yml:
@@ -113,10 +125,12 @@ class MultiCamApp:
         self._pending = None
         self._colors_dev = None
         # graceful degradation state: last good frame per camera (to keep
-        # the batched program's shape through a camera outage) and the
-        # previous iteration's stale flags (for transition logging)
+        # the batched program's shape through a camera outage), the
+        # previous iteration's stale flags (transition logging + the
+        # non-blocking read path), and in-flight reads of stale cameras
         self._last_frames = None
         self._stale_prev = [False] * self.n_cams
+        self._read_pending: dict = {}
 
         if cfg0.wait_for_geometry:
             log.info("Waiting for geometry on %d sockets...", self.n_cams)
@@ -197,8 +211,28 @@ class MultiCamApp:
     # -- per-frame ----------------------------------------------------------
 
     def _read_all(self):
-        """Read the next frame from every camera concurrently."""
-        return list(self._pool.map(lambda c: c.read_image(), self.cameras))
+        """Read the next frame from every camera concurrently.
+
+        A camera already in outage (stale) is read WITHOUT blocking: its
+        read future is left pending and polled next iteration, so a dead
+        camera's driver timeout (e.g. the 1 s GenICam/V4L2 pops) throttles
+        the fleet for at most the ONE frame-set where it first fails,
+        not for the whole outage."""
+        futs = {}
+        for c, cam in enumerate(self.cameras):
+            pending = self._read_pending.get(c)
+            futs[c] = (pending if pending is not None
+                       else self._pool.submit(cam.read_image))
+        frames = []
+        for c in range(self.n_cams):
+            f = futs[c]
+            if self._stale_prev[c] and not f.done():
+                self._read_pending[c] = f   # poll again next frame-set
+                frames.append(None)
+                continue
+            self._read_pending.pop(c, None)
+            frames.append(f.result())
+        return frames
 
     def _device_inputs(self):
         jnp = self._jax.numpy
@@ -427,13 +461,10 @@ class MultiCamApp:
         from ..proto import SSL_SOURCE_VISION_PROCESSOR, SSL_WrapperPacket
 
         models = [p.perspective.model for p in self.processors]
-        # only cameras whose config explicitly asked for height calibration
-        # (`camera_height: 0.0` set by the operator) are moved; cameras
-        # with measured heights stay FIXED in the cost — a trusted camera
-        # in an overlap pair pins h even harder than two free ones — and
-        # their calibrations are never rewritten
-        free = {i for i, c in enumerate(self.configs)
-                if c.camera_height == 0.0 and c.camera_height_set}
+        # trusted = an operator-MEASURED nonzero camera_height: those stay
+        # FIXED in the cost (a trusted camera in an overlap pair pins h
+        # even harder than two free ones) and are never rewritten
+        free = free_height_cameras(self.configs)
         h = height_from_shared_objects(models, self._height_obs, free=free)
         self._height_obs.clear()
         if h is None:
@@ -515,10 +546,10 @@ class MultiCamApp:
                 # process-per-camera model keeps the others alive). Reuse
                 # the camera's last frame to keep the batched program's
                 # shape and suppress its detections on the wire; a camera
-                # that never delivered a frame is fatal (no batch shape).
-                if self._last_frames is None or any(
-                        not a and self._last_frames[c] is None
-                        for c, a in enumerate(alive)):
+                # that fails before the fleet delivered a single full
+                # frame-set is fatal (no batch shape exists yet —
+                # _last_frames holds only complete sets)
+                if self._last_frames is None:
                     break
                 frames = [f if a else self._last_frames[c]
                           for c, (f, a) in enumerate(zip(frames, alive))]

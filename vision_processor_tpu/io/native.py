@@ -169,9 +169,11 @@ class H264Encoder:
         self._frame_num = 0     # 4-bit H.264 reference frame counter
         self._ref = None        # previous frame's reconstruction planes
         self._new = None        # scratch recon planes for the current frame
-        # frame-level rate control state (virtual buffer, 1 s capacity)
+        # frame-level rate control state (virtual buffer, 1 s capacity);
+        # a negative target would pin the controller at QP 29 — reject it
         self.target_kbps = (float(target_kbps)
-                            if target_kbps and qp is not None else None)
+                            if target_kbps and float(target_kbps) > 0
+                            and qp is not None else None)
         self.framerate = float(framerate) if framerate > 0 else 30.0
         self._rc_debt = 0.0     # bits spent above budget so far
         # slice-parallel CAVLC: one thread per horizontal slice band. The

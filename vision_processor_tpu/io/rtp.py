@@ -166,6 +166,12 @@ class RTPStreamer:
         except ValueError:
             log.warning("invalid VPTPU_KBPS=%r; using fixed QP", env_kbps)
             self.bitrate_kbps = 0.0
+        if self.bitrate_kbps < 0:
+            # a negative target would pin the controller at QP 29
+            log.warning("negative stream bitrate %r; using fixed QP",
+                        self.bitrate_kbps)
+            self.bitrate_kbps = 0.0
+        self._last_encode_t = None   # measured encode cadence (rc input)
         self._slot = _LatestSlot()
         self._seq = 0
         self._ssrc = np.random.randint(0, 2**31)
@@ -312,6 +318,20 @@ class RTPStreamer:
 
     def _send_h264_native(self, rgb: np.ndarray, host: str, port: int) -> None:
         self._ensure_sock()
+        if self._encoder.target_kbps:
+            # feed the MEASURED encode cadence into the rate controller:
+            # round-robin multicam feeding (or frame drops on the 1-slot
+            # queue) encodes each stream well below the nominal 30 fps,
+            # and a per-frame budget at the wrong rate misses the target
+            # by that factor
+            t = time.monotonic()
+            if self._last_encode_t is not None:
+                dt = t - self._last_encode_t
+                if 1e-3 < dt < 2.0:
+                    fps = 1.0 / dt
+                    self._encoder.framerate = (
+                        0.9 * self._encoder.framerate + 0.1 * fps)
+            self._last_encode_t = t
         access_unit = self._encoder.encode_rgb(rgb)
         ts = int(time.monotonic() * 90000) & 0xFFFFFFFF
         for pkt in packetize_h264(access_unit, self._seq, ts, self._ssrc):
