@@ -48,7 +48,8 @@ class App:
         self.processor = Processor(cfg, self.socket, self.gc_socket)
         self.streamer = RTPStreamer(cfg.stream_active, cfg.stream_url(),
                                     qp=cfg.stream_qp,
-                                    bitrate_kbps=cfg.stream_bitrate_kbps)
+                                    bitrate_kbps=cfg.stream_bitrate_kbps,
+                                    gop=cfg.stream_gop)
         self.snapshots = SnapshotWriter()
         self.running = True
         self._last_snapshot = 0.0

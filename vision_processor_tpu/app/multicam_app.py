@@ -81,7 +81,7 @@ class MultiCamApp:
         # so an N-camera rig streams each camera at frame_rate/N
         self.streamers = [
             RTPStreamer(c.stream_active, c.stream_url(), qp=c.stream_qp,
-                        bitrate_kbps=c.stream_bitrate_kbps)
+                        bitrate_kbps=c.stream_bitrate_kbps, gop=c.stream_gop)
             for c in self.configs
         ]
         self.snapshots = SnapshotWriter()
@@ -217,22 +217,60 @@ class MultiCamApp:
         read future is left pending and polled next iteration, so a dead
         camera's driver timeout (e.g. the 1 s GenICam/V4L2 pops) throttles
         the fleet for at most the ONE frame-set where it first fails,
-        not for the whole outage."""
+        not for the whole outage. A HEALTHY camera's read is bounded too
+        (2x its frame period, floored at 1 s for slow first frames): the
+        docstring contract that drivers pop after ~1 s is now enforced
+        rather than assumed, so a driver whose read blocks indefinitely
+        becomes an outage transition instead of stalling the fleet.
+
+        Returns ``(frames, pending)``: ``frames[c]`` is None when camera c
+        delivered nothing this set; ``pending[c]`` is True when that None
+        is merely an in-flight read (timeout / stale poll), False when the
+        read actually completed with None (true end of stream)."""
+        from concurrent.futures import TimeoutError as FutTimeout
+
         futs = {}
         for c, cam in enumerate(self.cameras):
             pending = self._read_pending.get(c)
             futs[c] = (pending if pending is not None
                        else self._pool.submit(cam.read_image))
-        frames = []
+        frames, pending = [], []
         for c in range(self.n_cams):
             f = futs[c]
             if self._stale_prev[c] and not f.done():
                 self._read_pending[c] = f   # poll again next frame-set
                 frames.append(None)
+                pending.append(True)
                 continue
+            if not self._stale_prev[c] and self._last_frames is not None:
+                # bounded wait only once the fleet is operational (a
+                # degraded set exists to fall back on): before the first
+                # complete frame-set, block like the reference's startup
+                # — a bounded startup read would DROP slow first frames
+                # and re-read, racing through the stream without ever
+                # forming a set
+                # floor of 5 s: boundedness is the contract (a hung
+                # driver stalls the fleet once, then enters the
+                # non-blocking outage path), but the floor must sit well
+                # above a slow frame source (software-rendered synthetic
+                # cameras take >1 s/frame on a loaded host) or healthy
+                # cameras ping-pong in and out of outage
+                budget = self.cameras[c].expected_frametime() or (1.0 / 30.0)
+                try:
+                    frame = f.result(timeout=max(2.0 * budget, 5.0))
+                except FutTimeout:
+                    # first failing read: transition to outage, leave the
+                    # read in flight exactly like the stale path
+                    self._read_pending[c] = f
+                    frames.append(None)
+                    pending.append(True)
+                    continue
+            else:
+                frame = f.result()
             self._read_pending.pop(c, None)
-            frames.append(f.result())
-        return frames
+            frames.append(frame)
+            pending.append(False)
+        return frames, pending
 
     def _device_inputs(self):
         jnp = self._jax.numpy
@@ -536,10 +574,21 @@ class MultiCamApp:
             for cfg, proc in zip(self.configs, self.processors):
                 if cfg.reload_if_changed():
                     proc.apply_tunables()
-            frames = self._read_all()
+            frames, read_pending = self._read_all()
             alive = [f is not None for f in frames]
             if not any(alive):
-                break   # every stream ended
+                if any(read_pending):
+                    # every camera momentarily stale but some reads are
+                    # still in flight: not end-of-stream — wait a frame
+                    # period and retry instead of exiting the fleet
+                    # (in-flight slots marked stale so the retry polls
+                    # them without blocking)
+                    self._stale_prev = list(read_pending)
+                    time.sleep(
+                        min(self.cameras[0].expected_frametime() or 0.05,
+                            0.05))
+                    continue
+                break   # every camera's read completed with None: EOF
             if not all(alive):
                 # graceful degradation: one dead or hiccuping camera must
                 # not take down the fleet (the reference's
@@ -548,7 +597,8 @@ class MultiCamApp:
                 # shape and suppress its detections on the wire; a camera
                 # that fails before the fleet delivered a single full
                 # frame-set is fatal (no batch shape exists yet —
-                # _last_frames holds only complete sets)
+                # _last_frames holds only complete sets; startup reads
+                # block unbounded, so a None here is a completed read)
                 if self._last_frames is None:
                     break
                 frames = [f if a else self._last_frames[c]

@@ -149,7 +149,7 @@ class RTPStreamer:
 
     def __init__(self, active: bool, url: str, framerate: float = 30.0,
                  codec: str | None = None, qp: int = 24,
-                 bitrate_kbps: float = 0):
+                 bitrate_kbps: float = 0, gop: int = 0):
         self.active = active
         self.url = url
         self.framerate = framerate
@@ -171,7 +171,12 @@ class RTPStreamer:
             log.warning("negative stream bitrate %r; using fixed QP",
                         self.bitrate_kbps)
             self.bitrate_kbps = 0.0
+        # GOP length (IDR interval) for the inter tier: config value when
+        # given, else VPTPU_GOP, else 30. See VisionConfig.stream_gop for
+        # the UDP loss-recovery tradeoff.
+        self.gop = int(gop) if gop else 0
         self._last_encode_t = None   # measured encode cadence (rc input)
+        self._rate_seeded = False    # first measured dt seeds the EWMA
         self._slot = _LatestSlot()
         self._seq = 0
         self._ssrc = np.random.randint(0, 2**31)
@@ -196,12 +201,17 @@ class RTPStreamer:
         # VPTPU_GOP=1 restores the all-intra stream. Parsed OUTSIDE the
         # encoder-probe try: a malformed value must not silently switch
         # the stream to a different codec path.
-        gop_raw = os.environ.get("VPTPU_GOP", "30") or "1"
-        try:
-            gop = max(1, int(gop_raw))
-        except ValueError:
-            log.warning("invalid VPTPU_GOP=%r; using default 30", gop_raw)
-            gop = 30
+        # precedence matches the bitrate knob: VPTPU_GOP env override,
+        # then the config value (stream: gop), then the 30-frame default
+        gop_raw = os.environ.get("VPTPU_GOP", "")
+        if gop_raw:
+            try:
+                gop = max(1, int(gop_raw))
+            except ValueError:
+                log.warning("invalid VPTPU_GOP=%r; using default 30", gop_raw)
+                gop = 30
+        else:
+            gop = max(1, self.gop) if self.gop else 30
         try:
             from .native import H264Encoder
 
@@ -329,8 +339,17 @@ class RTPStreamer:
                 dt = t - self._last_encode_t
                 if 1e-3 < dt < 2.0:
                     fps = 1.0 / dt
-                    self._encoder.framerate = (
-                        0.9 * self._encoder.framerate + 0.1 * fps)
+                    if not self._rate_seeded:
+                        # seed from the FIRST measured cadence: blending
+                        # from the nominal 30 fps would leave the
+                        # per-frame bit budget ~n_cams-times too small
+                        # for dozens of frames under multicam round-robin
+                        # feeding, transiently driving QP to the ceiling
+                        self._encoder.framerate = fps
+                        self._rate_seeded = True
+                    else:
+                        self._encoder.framerate = (
+                            0.9 * self._encoder.framerate + 0.1 * fps)
             self._last_encode_t = t
         access_unit = self._encoder.encode_rgb(rgb)
         ts = int(time.monotonic() * 90000) & 0xFFFFFFFF

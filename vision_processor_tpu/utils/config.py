@@ -125,6 +125,13 @@ class VisionConfig:
     # libav codec at 3500 kbps, reference src/rtpstreamer.cpp:70);
     # 0 = fixed QP (stream_qp)
     stream_bitrate_kbps: int = 0
+    # GOP length for the H.264 inter tier: an IDR every N frames, P frames
+    # (P_Skip / motion-compensated) between — mostly-static field views
+    # shrink ~N-fold. Loss-recovery tradeoff on RTP/UDP multicast: one
+    # lost packet corrupts the stream until the next IDR (up to N frames);
+    # gop=1 restores the all-intra stream that recovers every frame.
+    # 0 = default (30 = one IDR/second at 30 fps); VPTPU_GOP overrides.
+    stream_gop: int = 0
 
     # debug (live)
     ground_truth: str = "gt.yml"
@@ -202,6 +209,7 @@ class VisionConfig:
         self.stream_port = _get(st, "port", 10100)
         self.stream_qp = _get(st, "qp", 24)
         self.stream_bitrate_kbps = _get(st, "bitrate_kbps", 0)
+        self.stream_gop = _get(st, "gop", 0)
 
         dbg = _get(raw, "debug", {}) or {}
         self.ground_truth = _get(dbg, "ground_truth", "gt.yml")
