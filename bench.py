@@ -702,11 +702,15 @@ def main(resample_mode: str = "warp"):
         "detail": {
             "resample_mode": resample_mode,
             "resampling_factor": 1.25,
-            "factor_qualification": "perturbation suite passes light+medium "
-                                    "profiles at factor 1.25 with the same "
-                                    "recall bars as 1.0; factor 1.5 fails "
-                                    "the medium ball gate (documented floor,"
-                                    " tests/test_perturbation.py)",
+            "factor_qualification": "ROBOT recall bars hold at factor 1.25 "
+                                    "on light+medium degraded optics "
+                                    "(tests/test_perturbation.py); BALL "
+                                    "recall above factor 1.0 is grid-phase "
+                                    "marginal for the ~3 px ball at "
+                                    ">6 mm/px cameras (loss-only bar) — "
+                                    "small-ball fidelity requires factor "
+                                    "1.0, whose numbers are reported "
+                                    "alongside (fps_pipelined_factor1)",
             "ms_per_4cam_frameset_device_sustained": round(dev_frameset_ms, 3),
             "ms_per_4cam_frameset_device_sustained_factor1": round(
                 dev_f1_ms * 1e3, 3),

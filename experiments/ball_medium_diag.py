@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--profile", default="medium")
     ap.add_argument("--factor", type=float, default=1.0)
     ap.add_argument("--circularity", type=float, default=8.0)
+    ap.add_argument("--frames", type=int, default=6)
     args = ap.parse_args()
 
     import jax
@@ -42,7 +43,7 @@ def main():
     tmp = Path(tempfile.mkdtemp(prefix="balldiag"))
     subprocess.run(
         [sys.executable, str(REPO / "python" / "make_dataset.py"),
-         "--out", str(tmp / "data"), "--cams", "2", "--frames", "6"],
+         "--out", str(tmp / "data"), "--cams", "2", "--frames", str(args.frames)],
         check=True, cwd=str(REPO / "python"),
         env={**os.environ, "PYTHONPATH": str(REPO)}, capture_output=True,
     )

@@ -29,6 +29,12 @@ PROFILES = {
     # sigma_px, vignette corner gain, chroma noise sigma, wb gains, jpeg q
     "light": dict(blur=0.8, vignette=0.85, noise=2.5,
                   wb=(1.05, 1.0, 0.95), jpeg=80),
+    # moderate sits between light and medium: the strongest degradation at
+    # which the ~3 px ball's disc-mean color keeps a positive margin over
+    # the field/line colors (python/ball_detectability.py), so ball recall
+    # can be gated meaningfully (>=0.5) instead of loss-only
+    "moderate": dict(blur=0.85, vignette=0.82, noise=2.8,
+                     wb=(1.06, 1.0, 0.94), jpeg=75),
     "medium": dict(blur=1.1, vignette=0.75, noise=4.0,
                    wb=(1.08, 1.0, 0.92), jpeg=65),
     # heavy exceeds the documented ~10 mm/px resolution limit for the
