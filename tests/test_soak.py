@@ -1,0 +1,259 @@
+"""Long-run stability gate (VERDICT r3 item 6): a match-length (CI-scaled)
+MultiCamApp run with geometry churn, a config hot-reload, and an
+outage/recovery cycle must show
+
+* ZERO steady-state XLA recompiles (geometry packets keep arriving and a
+  live tunable changes mid-run — neither may re-key the compiled step;
+  the reference hot-reloads tunables without restart,
+  reference src/Resources.cpp:188-237),
+* bounded RSS growth once warm (no per-frame leak),
+* drop-free continuous wire output: every camera emits exactly one
+  detection frame per frame-set except the outage window.
+
+The run is 120 frame-sets over two cameras with a moving robot; frames
+come from a pre-rendered cycling bank so render cost does not dominate
+the soak (the device path sees distinct frames every set).
+"""
+import logging
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+import yaml
+
+from vision_processor_tpu.io.camera import CameraDriver, RawFrame, register_driver
+from vision_processor_tpu.io.synthetic import Scene, SceneBall, SceneBot, render_raw
+from vision_processor_tpu.models.camera import CameraModel
+from vision_processor_tpu.net.geometry_io import geometry_from_dict
+from vision_processor_tpu.net.udp import UDPSocket
+from vision_processor_tpu.proto import SSL_WrapperPacket
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("VPTPU_SKIP_SLOW") == "1", reason="slow integration"
+)
+
+N_FRAMES = 120
+BANK = 12
+FPS = 100.0
+OUTAGE = tuple(range(60, 64))  # camera 1 dark for 4 frame-sets
+
+
+def _field():
+    return geometry_from_dict({"field": {
+        "field_length": 9000, "field_width": 6000, "goal_width": 1000,
+        "goal_depth": 180, "penalty_area_depth": 1000,
+        "penalty_area_width": 2000, "boundary_width": 300,
+        "center_circle_radius": 500, "line_thickness": 10,
+        "ball_radius": 21.5, "max_robot_radius": 90.0,
+    }}).geometry.field
+
+
+class BankDriver(CameraDriver):
+    """Cycles a pre-rendered bank of distinct frames (loop motion), with
+    an optional outage window where reads return None."""
+
+    def __init__(self, model, field, scenes, fmt="RGGB", outage=()):
+        self.model = model
+        self._fmt = fmt
+        self._outage = set(outage)
+        self._bank = [render_raw(model, field, s, fmt) for s in scenes]
+        self._idx = 0
+
+    @property
+    def fmt(self):
+        return self._fmt
+
+    def expected_frametime(self):
+        return 1.0 / FPS
+
+    def get_time(self):
+        return self._idx / FPS
+
+    def read_image(self):
+        i = self._idx
+        if i >= N_FRAMES:
+            return None
+        self._idx += 1
+        if i in self._outage:
+            return None
+        raw = self._bank[i % len(self._bank)]
+        w, h = int(self.model.size[0]), int(self.model.size[1])
+        return RawFrame(data=raw, fmt=self._fmt, width=w, height=h)
+
+
+class _CompileCounter(logging.Handler):
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.events = []
+
+    def emit(self, record):
+        msg = record.getMessage()
+        if "Finished XLA compilation" in msg:
+            self.events.append((time.monotonic(), msg))
+
+
+def _rss_mb():
+    with open("/proc/self/statm") as fh:
+        pages = int(fh.read().split()[1])
+    return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+def test_soak_stability(tmp_path):
+    import jax
+
+    field = _field()
+    group, port = "224.99.99.93", 18491
+    n_cams = 2
+
+    models = [
+        CameraModel.initial_guess(
+            np.array([960, 720]), cam_id, n_cams, 4500.0, field)
+        for cam_id in range(n_cams)
+    ]
+
+    # looped motion: the robot circles so the bank wraps smoothly
+    def scenes_for(cam_id):
+        cx = float(models[cam_id].pos[0])
+        out = []
+        for k in range(BANK):
+            ang = 2 * np.pi * k / BANK
+            out.append(Scene(
+                bots=[SceneBot(3 + cam_id, "yellow" if cam_id == 0 else "blue",
+                               cx + 300 * np.cos(ang), 300 * np.sin(ang),
+                               float(ang))],
+                balls=[SceneBall(cx, -900.0)] if cam_id == 0 else [],
+                noise_sigma=1.0, seed=k,
+            ))
+        return out
+
+    def factory(cam_cfg):
+        c = int(cam_cfg.path or 0)
+        return BankDriver(models[c], field, scenes_for(c),
+                          outage=OUTAGE if c == 1 else ())
+
+    register_driver("SYNTHETIC_SOAK", factory)
+
+    cfg_paths = []
+    for cam_id in range(n_cams):
+        config = {
+            "cam_id": cam_id,
+            "bot_heights_file": str(tmp_path / "none.yml"),
+            "camera": {"driver": "SYNTHETIC_SOAK", "path": str(cam_id)},
+            "geometry": {"camera_amount": n_cams},
+            "network": {
+                "vision_ip": group, "vision_port": port,
+                "gc_ip": "224.99.99.94", "gc_port": 18492,
+            },
+            "stream": {"active": False},
+            "debug": {"wait_for_geometry": True},
+            "thresholds": {"blobs": 128, "circularity": 15.0},
+        }
+        p = tmp_path / f"config{cam_id}.yml"
+        p.write_text(yaml.dump(config))
+        cfg_paths.append(str(p))
+
+    wrapper = SSL_WrapperPacket()
+    wrapper.geometry.field.CopyFrom(field)
+    for cam_id, m in enumerate(models):
+        wrapper.geometry.calib.append(m.to_proto(cam_id))
+
+    by_cam = {0: [], 1: []}
+
+    class Bus(UDPSocket):
+        def _parse(self, data):
+            got = SSL_WrapperPacket()
+            got.ParseFromString(data)
+            if got.HasField("detection"):
+                by_cam[got.detection.camera_id].append(got.detection)
+
+    bus = Bus(group, port)
+    stop = threading.Event()
+
+    def publish():
+        # geometry churn: the wrapper packet keeps arriving throughout the
+        # run (the reference's geom publisher broadcasts at 1 Hz; 20 Hz
+        # here stresses the adoption path harder)
+        while not stop.is_set():
+            bus.send(wrapper)
+            time.sleep(0.05)
+
+    threading.Thread(target=publish, daemon=True).start()
+
+    # live-tunable hot reload mid-run: rewrite camera 0's config with a
+    # changed threshold after ~1.5 s of steady state (the mtime poll runs
+    # every 0.5 s); must NOT recompile the step
+    def reload_later():
+        time.sleep(8.0)
+        cfg = yaml.safe_load((tmp_path / "config0.yml").read_text())
+        cfg["thresholds"]["circularity"] = 12.0
+        (tmp_path / "config0.yml").write_text(yaml.dump(cfg))
+
+    threading.Thread(target=reload_later, daemon=True).start()
+
+    counter = _CompileCounter()
+    logging.getLogger("jax._src.dispatch").addHandler(counter)
+    logging.getLogger("jax._src.dispatch").setLevel(logging.DEBUG)
+    jax.config.update("jax_log_compiles", True)
+
+    rss_samples = []
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        from vision_processor_tpu.app.multicam_app import MultiCamApp
+
+        app = MultiCamApp(cfg_paths)
+
+        orig_dispatch = app.dispatch_frames
+        milestones = {}
+
+        def dispatch_wrapped(frames, now):
+            i = len(rss_samples)
+            rss_samples.append(_rss_mb())
+            if i in (20, 40):
+                milestones[i] = time.monotonic()
+            return orig_dispatch(frames, now)
+
+        app.dispatch_frames = dispatch_wrapped
+        app.run()
+        time.sleep(0.3)
+    finally:
+        os.chdir(cwd)
+        stop.set()
+        bus.close()
+        jax.config.update("jax_log_compiles", False)
+        logging.getLogger("jax._src.dispatch").removeHandler(counter)
+
+    # drop-free continuous wire output
+    assert len(by_cam[0]) == N_FRAMES, (
+        f"cam0 dropped frames: {len(by_cam[0])}/{N_FRAMES}"
+    )
+    assert len(by_cam[1]) == N_FRAMES - len(OUTAGE), (
+        f"cam1: {len(by_cam[1])}/{N_FRAMES - len(OUTAGE)}"
+    )
+    fn0 = [d.frame_number for d in by_cam[0]]
+    assert fn0 == sorted(fn0) and len(set(fn0)) == N_FRAMES
+
+    # detections never stopped: the moving robot is present throughout
+    missed0 = sum(1 for d in by_cam[0] if not d.robots_yellow)
+    assert missed0 <= 2, f"cam0 lost its robot in {missed0} frames"
+
+    # zero steady-state recompiles: nothing compiles after warm-up
+    # (frame-set 20 — first compile + any lazily-traced helpers are done
+    # by then; the hot reload at ~8 s and the geometry churn must not
+    # re-key anything)
+    assert 20 in milestones, "soak ended before warm-up milestone"
+    late = [m for t, m in counter.events if t > milestones[20]]
+    assert not late, f"steady-state recompiles detected: {late[:5]}"
+
+    # bounded RSS growth once warm: < 60 MB between frame-set 40 and the
+    # end (jax/XLA caches settle during warm-up; a per-frame leak at 120
+    # sets would show clearly)
+    assert len(rss_samples) >= N_FRAMES - len(OUTAGE)
+    growth = rss_samples[-1] - rss_samples[40]
+    assert growth < 60.0, (
+        f"RSS grew {growth:.1f} MB after warm-up "
+        f"({rss_samples[40]:.0f} -> {rss_samples[-1]:.0f})"
+    )
