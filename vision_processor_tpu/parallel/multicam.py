@@ -399,6 +399,54 @@ def batched_step_host_tracked(cfg: MultiCamConfig):
     return jax.jit(step)
 
 
+def percam_core_step(cfg: MultiCamConfig):
+    """One camera's blob machine + hypothesis search (finalize deferred) as
+    a standalone jitted program — the unit of the STAGGERED serial
+    pipeline: camera c's core dispatches as soon as ITS raw frame lands on
+    device, so uploads 1..n-1 and the per-camera host work hide under
+    compute instead of waiting for the whole frame-set (the batched
+    program exposes the full upload because every input must be resident
+    before dispatch). Measured split cost vs the batched program:
+    +0.05 ms per 4-camera frame-set (experiments/split_serial.py).
+
+    Callers slice per-camera tunables with ``params_for_cam`` first.
+    """
+
+    def step(raw, packed_cam, field_scale, field_offset, colors7, tracked,
+             params, rs_grid=None):
+        return _single_cam_step(
+            cfg, raw, packed_cam, field_scale, field_offset, colors7,
+            tracked, params, rs_grid=rs_grid, finalize=False,
+        )
+
+    return jax.jit(step)
+
+
+def staggered_tail_step(cfg: MultiCamConfig):
+    """The cross-stacked tail of the staggered pipeline: batched clipping
+    NMS + ids (finalize_batched) and the in-graph finisher over the
+    stacked per-camera core outputs. One small program dispatched after
+    the last camera's core; its cost is amortized across cameras exactly
+    like in the batched step."""
+
+    def tail(blobs, det, colors7, packed_cams, params, colors7_refs, marks):
+        det, _ = finalize_batched(
+            blobs, det, colors7, params["clipping_tolerance"],
+            params["ball_radius"],
+        )
+        from ..models.device_finish import (
+            finish_on_device_batched, stack_finish_params,
+        )
+
+        fin = finish_on_device_batched(
+            blobs, det, colors7, colors7_refs, packed_cams, marks,
+            stack_finish_params(params, cfg.n_cams),
+        )
+        return det, fin
+
+    return jax.jit(tail)
+
+
 # ---------------------------------------------------------------------------
 # multi chip: shard_map over a camera mesh
 # ---------------------------------------------------------------------------
