@@ -413,6 +413,132 @@ def test_mvimpact_missing_device_raises(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# Fault paths (VERDICT r3 item 8): mid-acquisition disconnect, timestamp
+# discontinuity, partial frames — a camera fault must yield None frames
+# (the outage semantics the apps degrade on), never an exception that
+# takes down the camera loop, and a long failure streak must re-arm the
+# acquisition stream.
+# ---------------------------------------------------------------------------
+
+
+class _DisconnectError(Exception):
+    pass
+
+
+def test_spinnaker_disconnect_returns_none_and_rearms(spin_env):
+    from vision_processor_tpu.io import vendor
+
+    drv, cam, _ = spin_env([], CameraSection(driver="SPINNAKER"))
+
+    calls = {"n": 0}
+
+    def raising(timeout_ms):
+        calls["n"] += 1
+        raise _DisconnectError("device removed")
+
+    cam.GetNextImage = raising
+    begin_count = {"n": 0}
+    orig_begin = cam.BeginAcquisition
+
+    def counting_begin():
+        begin_count["n"] += 1
+        orig_begin()
+
+    cam.BeginAcquisition = counting_begin
+
+    # every failing read is a None frame, not an exception
+    for _ in range(vendor._REARM_AFTER):
+        assert drv.read_image() is None
+    # the streak re-armed the acquisition stream exactly once
+    assert begin_count["n"] == 1
+    assert cam.acquiring
+    # recovery: frames flow again and the streak resets
+    arr = np.zeros((4, 4), np.uint8)
+    imgs = [_FakeSpinImage(arr, ts_ns=10_000_000_000)]
+    cam.GetNextImage = lambda t: imgs.pop(0)
+    frame = drv.read_image()
+    assert frame is not None
+    assert drv._fail_streak == 0
+
+
+def test_spinnaker_timestamp_discontinuity_stays_monotonic(spin_env):
+    arr = np.zeros((4, 4), np.uint8)
+    # hardware clock re-arms mid-run: 5.0 s, 5.008 s, then 0.1 s, 0.108 s
+    seq = [5.0, 5.008, 0.1, 0.108]
+    imgs = [_FakeSpinImage(arr, ts_ns=int(t * 1e9)) for t in seq]
+    drv, cam, _ = spin_env(imgs, CameraSection(driver="SPINNAKER"))
+    period = drv.expected_frametime()
+    t0 = drv.read_image().timestamp
+    t1 = drv.read_image().timestamp
+    t2 = drv.read_image().timestamp
+    t3 = drv.read_image().timestamp
+    assert (t0, t1) == (pytest.approx(5.0), pytest.approx(5.008))
+    # the backwards jump is replaced by a monotonic estimate...
+    assert t2 == pytest.approx(5.008 + period)
+    # ...and the still-backwards follow-up keeps stepping forward
+    assert t3 == pytest.approx(t2 + period)
+    assert t0 < t1 < t2 < t3
+
+
+def test_spinnaker_zero_timestamp_passthrough(spin_env):
+    """Cameras without hardware timestamps report 0; the guard must not
+    invent a clock for them (0 is the 'unsupported' wire convention)."""
+    arr = np.zeros((4, 4), np.uint8)
+    imgs = [_FakeSpinImage(arr, ts_ns=0), _FakeSpinImage(arr, ts_ns=0)]
+    drv, _, _ = spin_env(imgs, CameraSection(driver="SPINNAKER"))
+    assert drv.read_image().timestamp == 0.0
+    assert drv.read_image().timestamp == 0.0
+
+
+def test_mvimpact_partial_frame_requeued_not_delivered(mv_env):
+    drv, acq = mv_env(CameraSection(driver="MVIMPACT"))
+    fi = acq._fis[0]
+    fi.queued = 0
+    bad = _FakeRequest(np.zeros((4, 6), np.uint8), ts_us=1_000_000)
+    bad.requestResult = types.SimpleNamespace(readS=lambda: "Incomplete")
+    good = _FakeRequest(np.full((4, 6), 7, np.uint8), ts_us=2_000_000)
+    good.requestResult = types.SimpleNamespace(readS=lambda: "OK")
+    fi.feed(bad)
+    frame = drv.read_image()
+    assert frame is None                # partial frame never delivered
+    assert bad.unlocked and fi.queued == 1  # but its buffer was requeued
+    fi.feed(good)
+    frame = drv.read_image()
+    assert frame is not None
+    np.testing.assert_array_equal(frame.data, np.full((4, 6), 7, np.uint8))
+    assert drv._fail_streak == 0
+
+
+def test_mvimpact_disconnect_returns_none_and_reprimes(mv_env):
+    from vision_processor_tpu.io import vendor
+
+    drv, acq = mv_env(CameraSection(driver="MVIMPACT"))
+    fi = acq._fis[0]
+
+    def raising(timeout_ms):
+        raise _DisconnectError("bus reset")
+
+    fi.imageRequestWaitFor = raising
+    fi.queued = 0
+    for _ in range(vendor._REARM_AFTER):
+        assert drv.read_image() is None
+    # the streak re-primed the request queue (4 fresh requests)
+    assert fi.queued == 4
+
+
+def test_mvimpact_timestamp_discontinuity_stays_monotonic(mv_env):
+    drv, acq = mv_env(CameraSection(driver="MVIMPACT"))
+    fi = acq._fis[0]
+    for t_us in (4_000_000, 4_020_000, 500_000):
+        fi.feed(_FakeRequest(np.zeros((4, 6), np.uint8), ts_us=t_us))
+        # drain one per read (no newest-frame skip across feeds)
+        frame = drv.read_image()
+        assert frame is not None
+        last = frame.timestamp
+    assert last == pytest.approx(4.02 + 1.0 / 50.0)
+
+
+# ---------------------------------------------------------------------------
 # Aravis (GenICam) newest-SUCCESS drain — fake ctypes lib surface
 # ---------------------------------------------------------------------------
 

@@ -26,6 +26,45 @@ from .camera import CameraDriver, RawFrame, register_driver
 
 log = get_logger(__name__)
 
+# consecutive read failures before the driver tries to re-arm the
+# acquisition stream (the reference retries camera bring-up in a loop,
+# reference spinnakerdriver.cpp:41-52; mid-run we re-arm rather than
+# rebuild so a transient bus hiccup costs frames, not the process)
+_REARM_AFTER = 8
+
+
+class _TimestampGuard:
+    """Monotonic guard for camera hardware timestamps.
+
+    Industrial cameras re-arm their timestamp clock on reconnect / power
+    events, so a mid-run discontinuity shows up as a BACKWARDS jump that
+    would corrupt tracking time deltas (velocities divide by dt). The
+    guard passes normal timestamps through untouched and replaces a
+    non-monotonic one with last + expected frame period, logging once per
+    discontinuity episode.
+    """
+
+    def __init__(self, frametime: float):
+        self._last = None
+        self._frametime = frametime
+        self._in_episode = False
+
+    def __call__(self, ts: float) -> float:
+        if ts <= 0.0:
+            return ts  # timestamps unsupported: pass the 0 convention
+        if self._last is not None and ts <= self._last:
+            if not self._in_episode:
+                log.warning(
+                    "camera timestamp discontinuity: %.6f after %.6f; "
+                    "substituting monotonic estimates", ts, self._last,
+                )
+                self._in_episode = True
+            ts = self._last + self._frametime
+        else:
+            self._in_episode = False
+        self._last = ts
+        return ts
+
 
 class SpinnakerDriver(CameraDriver):
     """FLIR cameras via PySpin (GenICam)."""
@@ -50,6 +89,8 @@ class SpinnakerDriver(CameraDriver):
         self._configure(cfg)
         self._cam.BeginAcquisition()
         self._fps = float(self._cam.AcquisitionFrameRate.GetValue())
+        self._ts_guard = _TimestampGuard(self.expected_frametime())
+        self._fail_streak = 0
 
     def _configure(self, cfg: CameraSection) -> None:
         spin = self._spin
@@ -104,16 +145,43 @@ class SpinnakerDriver(CameraDriver):
         return 1.0 / max(self._fps, 1.0)
 
     def read_image(self) -> RawFrame | None:
-        img = self._cam.GetNextImage(1000)
+        # any SDK error (timeout, mid-acquisition disconnect, bus reset)
+        # becomes a None frame — OUTAGE semantics the apps degrade on —
+        # never an exception that would take down the camera loop; after
+        # _REARM_AFTER consecutive failures the acquisition stream is
+        # re-armed (End/BeginAcquisition), the mid-run analogue of the
+        # reference's bring-up retry loop (spinnakerdriver.cpp:41-52)
+        try:
+            img = self._cam.GetNextImage(1000)
+        except Exception as exc:
+            self._fail_streak += 1
+            log.warning("Spinnaker read failed (%d consecutive): %s",
+                        self._fail_streak, exc)
+            if self._fail_streak >= _REARM_AFTER:
+                self._rearm()
+            return None
         try:
             if img.IsIncomplete():
+                # partial frame delivery: drop it, keep the ring moving
+                self._fail_streak += 1
                 return None
             data = np.array(img.GetNDArray(), dtype=np.uint8, copy=True)
-            ts = img.GetTimeStamp() / 1e9
+            ts = self._ts_guard(img.GetTimeStamp() / 1e9)
         finally:
             img.Release()
+        self._fail_streak = 0
         h, w = data.shape
         return RawFrame(data, "RGGB", w // 2, h // 2, ts)
+
+    def _rearm(self) -> None:
+        log.warning("re-arming Spinnaker acquisition after %d failures",
+                    self._fail_streak)
+        self._fail_streak = 0
+        try:
+            self._cam.EndAcquisition()
+            self._cam.BeginAcquisition()
+        except Exception as exc:  # camera still gone: stay in outage
+            log.warning("Spinnaker re-arm failed: %s", exc)
 
     def close(self) -> None:
         try:
@@ -152,6 +220,8 @@ class MVImpactDriver(CameraDriver):
         for _ in range(4):
             self._fi.imageRequestSingle()
         self._fps = 50.0
+        self._ts_guard = _TimestampGuard(1.0 / self._fps)
+        self._fail_streak = 0
 
     @property
     def fmt(self) -> str:
@@ -160,30 +230,80 @@ class MVImpactDriver(CameraDriver):
     def expected_frametime(self) -> float:
         return 1.0 / self._fps
 
+    @staticmethod
+    def _request_ok(req) -> bool:
+        """Partial/failed transfer check: mvIMPACT reports the request
+        result as a string node ('OK' on success; 'Error', 'Incomplete'
+        etc. on partial frames — reference mvimpactdriver.cpp handles the
+        same via the request result). Missing node (older SDK) = OK."""
+        res = getattr(req, "requestResult", None)
+        if res is None:
+            return True
+        try:
+            return str(res.readS()) == "OK"
+        except Exception:
+            return True
+
     def read_image(self) -> RawFrame | None:
         fi = self._fi
-        req_nr = fi.imageRequestWaitFor(1000)
-        if not fi.isRequestNrValid(req_nr):
-            return None
-        req = fi.getRequest(req_nr)
-        # skip to the newest completed request
-        while True:
-            nxt = fi.imageRequestWaitFor(0)
-            if not fi.isRequestNrValid(nxt):
-                break
-            req.unlock()
-            fi.imageRequestSingle()
-            req = fi.getRequest(nxt)
+        # SDK errors become None frames (outage semantics), like the
+        # Spinnaker driver; a long failure streak re-primes the request
+        # queue in case the device dropped the outstanding requests
         try:
+            req_nr = fi.imageRequestWaitFor(1000)
+            if not fi.isRequestNrValid(req_nr):
+                self._fail_streak += 1
+                if self._fail_streak >= _REARM_AFTER:
+                    self._rearm()
+                return None
+            req = fi.getRequest(req_nr)
+            # skip to the newest completed request
+            while True:
+                nxt = fi.imageRequestWaitFor(0)
+                if not fi.isRequestNrValid(nxt):
+                    break
+                req.unlock()
+                fi.imageRequestSingle()
+                req = fi.getRequest(nxt)
+        except Exception as exc:
+            self._fail_streak += 1
+            log.warning("mvIMPACT read failed (%d consecutive): %s",
+                        self._fail_streak, exc)
+            if self._fail_streak >= _REARM_AFTER:
+                self._rearm()
+            return None
+        try:
+            if not self._request_ok(req):
+                # partial frame: requeue the buffer, deliver nothing
+                self._fail_streak += 1
+                return None
             buf = req.getImageBufferDesc().getBuffer()
             h = req.imageHeight.read()
             w = req.imageWidth.read()
             data = np.frombuffer(buf, dtype=np.uint8, count=h * w).reshape(h, w).copy()
-            ts = req.infoTimeStamp_us.read() / 1e6
+            ts = self._ts_guard(req.infoTimeStamp_us.read() / 1e6)
+        except Exception as exc:
+            self._fail_streak += 1
+            log.warning("mvIMPACT frame fetch failed: %s", exc)
+            return None
         finally:
-            req.unlock()
-            fi.imageRequestSingle()
+            try:
+                req.unlock()
+                fi.imageRequestSingle()
+            except Exception:  # device gone: the re-arm path re-primes
+                pass
+        self._fail_streak = 0
         return RawFrame(data, "GRBG", w // 2, h // 2, ts)
+
+    def _rearm(self) -> None:
+        log.warning("re-priming mvIMPACT request queue after %d failures",
+                    self._fail_streak)
+        self._fail_streak = 0
+        try:
+            for _ in range(4):
+                self._fi.imageRequestSingle()
+        except Exception as exc:
+            log.warning("mvIMPACT re-prime failed: %s", exc)
 
     def close(self) -> None:
         try:
