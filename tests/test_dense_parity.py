@@ -458,6 +458,94 @@ def test_tracked_caps_match_uncapped_oracle():
     assert np.allclose(out["pos"][0], o_best[1], atol=0.2)
 
 
+def test_tracked_tier_semantically_equivalent():
+    """Occupancy-adaptive tracked window (DetectorConfig.max_tracked_tier):
+    (a) when every tracked robot fits the tier window the tiered search
+    must match the untiered one on all slots (small path taken);
+    (b) a single qualifying slot beyond the tier forces the full window
+    (exact condition, not a prefix assumption — a ball entry (id -1)
+    inside the window must not count as qualifying)."""
+    import jax.numpy as jnp
+
+    from vision_processor_tpu.models.camera import CameraModel
+
+    rng = np.random.default_rng(17)
+    colors = ColorState()
+    packed_colors = colors.packed().astype(np.float32)
+
+    # blobs: 6 real robots' constellations + clutter
+    packed, pos, col, valid, anchors, bot_truth = build_scene(
+        rng, n_bots=6, n_spurious=80)
+    n = len(pos)
+    cam = CameraModel(
+        focal_length=900.0, principal_point=np.array([480.0, 270.0]),
+        distortion_k2=0.0, pos=np.array([-2000.0, -1200.0, 4000.0]),
+        size=np.array([960, 540]),
+    ).packed()
+
+    def tracked_for(ids_at):
+        """Tracked dict with robot entries at the given slot indices
+        (predicted at the true bot positions) and a ball (-1) at slot 2."""
+        T = 32
+        d = {
+            "id": np.full(T, -1, np.int32),
+            "x": np.zeros(T, np.float32), "y": np.zeros(T, np.float32),
+            "z": np.full(T, 150.0, np.float32),
+            "w": np.zeros(T, np.float32),
+            "vx": np.zeros(T, np.float32), "vy": np.zeros(T, np.float32),
+            "vw": np.zeros(T, np.float32),
+            "time_delta": np.zeros(T, np.float32),
+            "valid": np.zeros(T, bool),
+        }
+        for slot, b in zip(ids_at, range(len(bot_truth))):
+            bid, center, w = bot_truth[b]
+            d["id"][slot] = bid
+            d["x"][slot], d["y"][slot] = center
+            d["w"][slot] = w
+            d["valid"][slot] = True
+        d["valid"][2] = True  # ball entry: valid but id -1, never qualifies
+        return {k: jnp.asarray(v) for k, v in d.items()}
+
+    def run(cfg, tracked):
+        out = tracked_hypotheses(
+            cfg, jnp.asarray(pos), jnp.asarray(col), jnp.asarray(valid),
+            tracked, jnp.asarray(packed_colors[:6]), jnp.asarray(cam),
+            jnp.float32(150.0), jnp.float32(40.0), jnp.float32(6500.0),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    cfg_tier = DetectorConfig(max_blobs=n, max_tracked=32,
+                              max_tracked_tier=16)
+    cfg_full = DetectorConfig(max_blobs=n, max_tracked=32,
+                              max_tracked_tier=0)
+
+    # (a) all robots inside the tier (slots 0,1,3,4,5,6 — ball at 2)
+    trk = tracked_for([0, 1, 3, 4, 5, 6])
+    a = run(cfg_tier, trk)
+    b = run(cfg_full, trk)
+    assert a["valid"].any(), "tracked search must match the planted bots"
+    np.testing.assert_array_equal(a["valid"], b["valid"])
+    np.testing.assert_array_equal(a["blob_idx"], b["blob_idx"])
+    np.testing.assert_array_equal(a["tracked_id"], b["tracked_id"])
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+    np.testing.assert_allclose(a["pos"], b["pos"], atol=1e-2)
+    np.testing.assert_allclose(a["orientation"], b["orientation"],
+                               atol=1e-5)
+    # padded tier slots are inert
+    assert not a["valid"][16:].any()
+    assert (a["score"][16:] == 0.0).all()
+
+    # (b) one robot at slot 20 (beyond the tier): full window taken, all
+    # six robots still found identically
+    trk = tracked_for([0, 1, 3, 4, 5, 20])
+    a = run(cfg_tier, trk)
+    b = run(cfg_full, trk)
+    assert a["valid"][20] and b["valid"][20], "slot-20 robot must be found"
+    np.testing.assert_array_equal(a["valid"], b["valid"])
+    np.testing.assert_array_equal(a["blob_idx"], b["blob_idx"])
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+
+
 def test_anchor_tier_semantically_equivalent_when_not_binding():
     """Occupancy-adaptive anchor tier (DetectorConfig.max_anchors_tier):
     when every valid blob fits the small window, the tiered search must

@@ -55,6 +55,16 @@ class DetectorConfig:
     # SSL allows at most 11 robots per team on the field (22 total); 32
     # slots cover any legal scene with margin at half the search cost of 64
     max_tracked: int = 32  # tracked-object slots (T)
+    # occupancy-adaptive tracked window (0 disables): when every tracked
+    # ROBOT (valid, id >= 0) sits in the first `max_tracked_tier` slots,
+    # the per-slot cross-product search runs on that window only — exactly
+    # equivalent (per-slot searches are independent; excluded slots output
+    # the same inert zeros either way) at ~1/3 the cost (measured 0.099 ->
+    # 0.030 ms/camera, experiments/tracked_tier.py). The condition is
+    # EXACT (no qualifying slot beyond the window), not a prefix
+    # assumption, so host-built tracked arrays with ball entries (-1)
+    # interleaved stay correct.
+    max_tracked_tier: int = 16
     tracked_candidates: int = 3  # blob candidates per pattern slot (M)
     max_bots: int = 64  # bot output slots (B)
 
@@ -520,8 +530,58 @@ def tracked_hypotheses(
     candidate assignment (including missing slots), score with the tracked
     offset/rotation penalty and blob-count factor, veto on contradicting
     pattern colors.
+
+    Occupancy-adaptive window (``cfg.max_tracked_tier``): when no tracked
+    ROBOT occupies a slot beyond the tier, the search runs on the tier
+    window only — exactly equivalent, since per-slot searches are
+    independent and a non-qualifying slot's outputs are the same inert
+    values (score 0, blob_idx -1) the full window produces for it.
     """
     t = cfg.max_tracked
+    tier = cfg.max_tracked_tier
+    args = (blob_pos, blob_color, blob_valid, colors, packed_cam,
+            max_bot_height, min_tracking_radius, max_bot_acceleration)
+    if not (0 < tier < t):
+        return _tracked_window(cfg, tracked, *args)
+
+    tid_full = jnp.asarray(tracked["id"])
+    qual = jnp.asarray(tracked["valid"]) & (tid_full >= 0)
+
+    def small_window():
+        sub = {k: jnp.asarray(v)[:tier] for k, v in tracked.items()}
+        out = _tracked_window(cfg, sub, *args)
+        pad = t - tier
+        return {
+            "score": jnp.pad(out["score"], (0, pad)),
+            "orientation": jnp.pad(out["orientation"], (0, pad)),
+            "pos": jnp.pad(out["pos"], ((0, pad), (0, 0))),
+            "blob_idx": jnp.pad(out["blob_idx"], ((0, pad), (0, 0)),
+                                constant_values=-1),
+            "tracked_id": tid_full,
+            "valid": jnp.pad(out["valid"], (0, pad)),
+        }
+
+    def full_window():
+        return _tracked_window(cfg, tracked, *args)
+
+    return jax.lax.cond(jnp.any(qual[tier:]), full_window, small_window)
+
+
+def _tracked_window(
+    cfg: DetectorConfig,
+    tracked,
+    blob_pos,
+    blob_color,
+    blob_valid,
+    colors,
+    packed_cam,
+    max_bot_height,
+    min_tracking_radius,
+    max_bot_acceleration,
+):
+    """The tracked search over whatever slot count ``tracked`` carries
+    (see tracked_hypotheses)."""
+    t = jnp.asarray(tracked["id"]).shape[0]
     m = cfg.tracked_candidates
 
     tid = tracked["id"]
