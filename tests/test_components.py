@@ -128,10 +128,40 @@ def test_config_defaults_and_load(tmp_path):
     assert cfg.stream_bitrate_kbps == 0  # rate control off by default
 
     path.write_text(yaml.dump(
-        {"cam_id": 3, "stream": {"qp": 20, "bitrate_kbps": 3500}}))
+        {"cam_id": 3, "stream": {"qp": 20, "bitrate_kbps": 3500, "gop": 1}}))
     cfg = VisionConfig.load(path)
     assert cfg.stream_qp == 20
     assert cfg.stream_bitrate_kbps == 3500
+    assert cfg.stream_gop == 1  # all-intra stream (UDP loss recovery)
+
+
+def test_stream_gop_config_reaches_encoder(tmp_path, monkeypatch):
+    """The stream: gop knob must configure the native encoder's IDR
+    interval (env VPTPU_GOP still overrides, matching VPTPU_KBPS)."""
+    import vision_processor_tpu.io.rtp as rtp
+
+    captured = {}
+
+    class FakeEncoder:
+        def __init__(self, qp=None, gop=None, target_kbps=None,
+                     framerate=30.0):
+            captured["gop"] = gop
+            self.framerate = framerate
+            self.target_kbps = target_kbps
+
+    import vision_processor_tpu.io.native as native
+
+    monkeypatch.setattr(native, "H264Encoder", FakeEncoder)
+    monkeypatch.delenv("VPTPU_GOP", raising=False)
+    rtp.RTPStreamer(False, "rtp://224.99.0.1:10100", gop=5)
+    assert captured["gop"] == 5
+    # config default (0) falls back to 30
+    rtp.RTPStreamer(False, "rtp://224.99.0.1:10100", gop=0)
+    assert captured["gop"] == 30
+    # env override wins, like VPTPU_KBPS over bitrate_kbps
+    monkeypatch.setenv("VPTPU_GOP", "7")
+    rtp.RTPStreamer(False, "rtp://224.99.0.1:10100", gop=5)
+    assert captured["gop"] == 7
 
 
 def test_config_hot_reload(tmp_path):
