@@ -210,3 +210,51 @@ def test_row_saturated_extraction_keeps_all_blobs():
     o = B.extract_blobs(flat, jnp.asarray(circ2), 10.0, radius=2,
                         max_blobs=64, min_score=0.0)
     assert int(o["valid"].sum()) == int(o["count"])
+
+
+def test_compact_masked_occupancy_tiers_are_exact():
+    """The three occupancy tiers of the compaction (6-lane sparse row
+    stage / m-lane row stage / flat-map fallback) must each return the
+    EXACT flat top-k selection; the tier only changes how much work the
+    device does, never the result."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w, max_blobs = 120, 200, 256
+    rng = np.random.default_rng(7)
+
+    def build(per_row_max, n):
+        """n distinct-valued peaks, none exceeding per_row_max per row."""
+        m = np.full((h, w), -np.inf, np.float32)
+        placed = 0
+        counts = np.zeros(h, int)
+        while placed < n:
+            y = int(rng.integers(0, h))
+            if counts[y] >= per_row_max:
+                continue
+            x = int(rng.integers(0, w))
+            if np.isfinite(m[y, x]):
+                continue
+            m[y, x] = 10.0 + placed  # distinct: no tie ambiguity
+            counts[y] += 1
+            placed += 1
+        return m
+
+    dense_row = np.full((h, w), -np.inf, np.float32)
+    dense_row[60, np.arange(0, 30 * 6, 6)] = 100.0 + np.arange(30)
+
+    for masked in (
+        build(3, 40),          # tier 0: densest row <= m_small
+        build(12, 300),        # tier 1: densest row <= m (=16)
+        dense_row,             # tier 2: a 30-candidate row -> flat map
+    ):
+        vals, idx = jax.jit(
+            lambda x: B._compact_masked(x, max_blobs)
+        )(jnp.asarray(masked))
+        ref_vals, ref_idx = jax.lax.top_k(
+            jnp.asarray(masked).reshape(-1), max_blobs)
+        np.testing.assert_array_equal(np.asarray(vals),
+                                      np.asarray(ref_vals))
+        ok = np.asarray(vals) > -np.inf
+        np.testing.assert_array_equal(np.asarray(idx)[ok],
+                                      np.asarray(ref_idx)[ok])

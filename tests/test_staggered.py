@@ -5,9 +5,19 @@ staggered_tail_step) exists to hide uploads and host finishing inside one
 frame-set (bench.py measure_staggered_serial; VERDICT r3 item 2). It must
 produce the same wire-visible results as the batched program it replaces:
 identical constellations, ids, validity and ball sets; float scores equal
-to cross-compilation reduction-order tolerance."""
+to cross-compilation reduction-order tolerance.
+
+Two layers are pinned here: the raw composition (core programs + tail ==
+one batched program) and the PRODUCTION wiring (MultiCamApp with
+VPTPU_STAGGERED=1 emits the same wire packets as the batched app,
+including through a camera outage)."""
+import os
+import threading
+import time
+
 import numpy as np
 import pytest
+import yaml
 
 
 def test_staggered_matches_batched():
@@ -83,3 +93,170 @@ def test_staggered_matches_batched():
     # bench/dense tests, parity is what this file pins)
     per_cam = np.sum(b_det["bot_valid"], axis=1)
     assert (per_cam >= 1).all(), per_cam
+
+
+# ---------------------------------------------------------------------------
+# production wiring: MultiCamApp staggered mode == batched mode on the wire
+# ---------------------------------------------------------------------------
+
+_slow = pytest.mark.skipif(
+    os.environ.get("VPTPU_SKIP_SLOW") == "1", reason="slow integration")
+
+
+def _run_app(tmp_path, tag, staggered, monkeypatch):
+    """One frame-serial MultiCamApp run over a deterministic 2-camera
+    synthetic rig; returns the wire detections keyed by
+    (camera_id, frame_number). No outage here on purpose: outage handling
+    is upstream of dispatch (tests/test_multicam_outage.py) and its
+    stale-read retry timing makes frame-set formation nondeterministic —
+    this test pins DISPATCH parity, so every read must deliver."""
+    from vision_processor_tpu.io.camera import SyntheticDriver, register_driver
+    from vision_processor_tpu.io.synthetic import Scene, SceneBot
+    from vision_processor_tpu.models.camera import CameraModel
+    from vision_processor_tpu.net.udp import UDPSocket
+    from vision_processor_tpu.proto import SSL_WrapperPacket
+    from test_multicam_outage import _field
+
+    field = _field()
+    group = "224.99.99.81"
+    port = 18491 if staggered else 18493
+    n_cams, n_frames = 2, 4
+
+    models = [
+        CameraModel.initial_guess(
+            np.array([960, 720]), cam_id, n_cams, 4500.0, field)
+        for cam_id in range(n_cams)
+    ]
+    scenes = [
+        Scene(bots=[SceneBot(3, "blue", float(models[0].pos[0]), -500.0,
+                             1.2)], balls=[], noise_sigma=1.0),
+        Scene(bots=[SceneBot(9, "yellow", float(models[1].pos[0]), 600.0,
+                             -0.7)], balls=[], noise_sigma=1.0),
+    ]
+
+    class CachedDriver(SyntheticDriver):
+        """Render ONCE up front and serve copies instantly: a slow
+        software render under CI load can exceed the app's bounded
+        healthy-read wait and spuriously trip the outage path, which
+        would make frame-set formation differ between the two arms."""
+
+        def __init__(self, *args, **kw):
+            super().__init__(*args, **kw)
+            self._cached = super().read_image()
+            self._idx = 0
+
+        def read_image(self):
+            if self._idx >= self._frames:
+                return None
+            self._idx += 1
+            return self._cached
+
+    def factory(cam_cfg):
+        c = int(cam_cfg.path or 0)
+        return CachedDriver(
+            models[c], field, scenes[c], fmt="RGGB", fps=100.0,
+            frames=n_frames,
+        )
+
+    name = f"SYNTH_STAG_{tag}"
+    register_driver(name, factory)
+
+    cfg_paths = []
+    for cam_id in range(n_cams):
+        config = {
+            "cam_id": cam_id,
+            "bot_heights_file": str(tmp_path / "none.yml"),
+            "camera": {"driver": name, "path": str(cam_id)},
+            "geometry": {"camera_amount": n_cams},
+            "network": {
+                "vision_ip": group, "vision_port": port,
+                "gc_ip": "224.99.99.82", "gc_port": port + 1,
+            },
+            "stream": {"active": False},
+            "debug": {"wait_for_geometry": True},
+            "thresholds": {"blobs": 128},
+        }
+        p = tmp_path / f"config{tag}{cam_id}.yml"
+        p.write_text(yaml.dump(config))
+        cfg_paths.append(str(p))
+
+    wrapper = SSL_WrapperPacket()
+    wrapper.geometry.field.CopyFrom(field)
+    for cam_id, m in enumerate(models):
+        wrapper.geometry.calib.append(m.to_proto(cam_id))
+
+    dets = {}
+
+    class Bus(UDPSocket):
+        def _parse(self, data):
+            got = SSL_WrapperPacket()
+            got.ParseFromString(data)
+            if got.HasField("detection"):
+                d = got.detection
+                dets[(d.camera_id, d.frame_number)] = d
+
+    bus = Bus(group, port)
+    stop = threading.Event()
+
+    def publish():
+        while not stop.is_set():
+            bus.send(wrapper)
+            time.sleep(0.05)
+
+    thread = threading.Thread(target=publish, daemon=True)
+    thread.start()
+
+    # frame-serial latency mode: exactly the deployment shape the
+    # staggered plan exists for (VPTPU_PIPELINE=0 defaults staggered on;
+    # the explicit env makes each arm unambiguous)
+    monkeypatch.setenv("VPTPU_PIPELINE", "0")
+    monkeypatch.setenv("VPTPU_STAGGERED", "1" if staggered else "0")
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        from vision_processor_tpu.app.multicam_app import MultiCamApp
+
+        app = MultiCamApp(cfg_paths)
+        assert app.staggered is staggered
+        app.run()
+        time.sleep(0.3)
+    finally:
+        os.chdir(cwd)
+        stop.set()
+        thread.join()
+        bus.close()
+    return dets
+
+
+@_slow
+def test_app_staggered_matches_batched_on_wire(tmp_path, monkeypatch):
+    stag = _run_app(tmp_path, "s", True, monkeypatch)
+    batch = _run_app(tmp_path, "b", False, monkeypatch)
+
+    # same frame-sets on the wire: every camera, every frame, both modes
+    assert set(stag) == set(batch) == {
+        (c, n) for c in (0, 1) for n in (1, 2, 3, 4)
+    }, (sorted(stag), sorted(batch))
+
+    for key, bd in batch.items():
+        sd = stag[key]
+        for attr in ("robots_yellow", "robots_blue", "balls"):
+            bs, ss = getattr(bd, attr), getattr(sd, attr)
+            assert len(bs) == len(ss), (key, attr)
+            for b, s in zip(bs, ss):
+                if attr != "balls":
+                    assert b.robot_id == s.robot_id, (key, attr)
+                # cross-compilation reduction-order tolerance
+                np.testing.assert_allclose(
+                    [b.x, b.y], [s.x, s.y], atol=0.1)
+    # real detections flowed: each camera's planted robot shows up with
+    # positive confidence in at least one emitted frame
+    for cam, (team, rid) in ((0, ("robots_blue", 3)),
+                             (1, ("robots_yellow", 9))):
+        hits = [
+            r.robot_id
+            for n in (1, 2, 3, 4)
+            for r in getattr(stag[(cam, n)], team)
+            if r.confidence > 0
+        ]
+        assert rid in hits, (cam, hits)

@@ -122,6 +122,24 @@ class MultiCamApp:
         import os
 
         self.pipeline = os.environ.get("VPTPU_PIPELINE", "1") != "0"
+        # staggered per-camera dispatch (bench.measure_staggered_serial's
+        # production form): camera c's CORE program (blob machine +
+        # hypothesis search) dispatches as soon as its raw lands on
+        # device, one small batched TAIL (NMS + ids + in-graph finisher)
+        # after the last core — uploads 1..n-1 hide under compute, which
+        # is what brings the strict serial glass-to-wire latency of a
+        # frame-set under the 5 ms budget (the batched program exposes
+        # the whole frame-set upload because every input must be resident
+        # before dispatch). Default: on for the frame-serial latency mode
+        # (VPTPU_PIPELINE=0), off when pipelining already hides the
+        # upload under the previous frame-set's compute.
+        # tests/test_staggered.py pins semantic equality with the batched
+        # step; +0.05 ms/frame-set split cost (experiments/split_serial.py)
+        _stag = os.environ.get("VPTPU_STAGGERED")
+        self.staggered = (_stag != "0") if _stag is not None \
+            else not self.pipeline
+        self._core_step = None
+        self._tail_step = None
         self._pending = None
         self._colors_dev = None
         # graceful degradation state: last good frame per camera (to keep
@@ -195,6 +213,13 @@ class MultiCamApp:
                              max_tracked=self.processors[0].det_cfg.max_tracked)
         self.mc_cfg = MultiCamConfig(bm=bm, det=det, n_cams=self.n_cams)
         self._step = batched_step_host_tracked(self.mc_cfg)
+        if self.staggered:
+            from ..parallel.multicam import (
+                percam_core_step, staggered_tail_step,
+            )
+
+            self._core_step = percam_core_step(self.mc_cfg)
+            self._tail_step = staggered_tail_step(self.mc_cfg)
         self._geom_key = key
         # per-camera configs for the debug-view renderer (each camera's own
         # flat shape; compiled lazily on the first stream/snapshot request)
@@ -351,8 +376,7 @@ class MultiCamApp:
         output handles, or None while any camera is uncalibrated."""
         jnp = self._jax.numpy
         fmt = frames[0].fmt
-        raws = np.stack([f.data for f in frames])
-        if not self._ensure_step(fmt, raws.shape[1:]):
+        if not self._ensure_step(fmt, frames[0].data.shape):
             return None
         packed, scales, offsets, colors, grids = self._device_inputs()
 
@@ -361,6 +385,7 @@ class MultiCamApp:
             self.sockets[0].get_tracked_objects(), now,
             self.processors[0].det_cfg.max_tracked,
         )
+        refs = None
         if self._marks is not None:
             # device-carried batched color chain (the batched analogue of
             # Processor._colors_dev): pipelined dispatch keeps exact
@@ -370,18 +395,53 @@ class MultiCamApp:
             refs = jnp.asarray(
                 np.stack([p.colors.packed_refs() for p in self.processors])
             )
-            blobs, det, fin = self._step(
-                jnp.asarray(raws), packed, scales, offsets, colors,
-                tracked.as_dict(), self._fleet_params(), grids,
-                refs, self._marks,
+        if self.staggered:
+            blobs, det, fin = self._dispatch_staggered(
+                frames, packed, scales, offsets, colors, grids,
+                tracked.as_dict(), self._fleet_params(), refs,
             )
-            self._colors_dev = fin["colors7"]
+        elif self._marks is not None:
+            blobs, det, fin = self._step(
+                jnp.asarray(np.stack([f.data for f in frames])), packed,
+                scales, offsets, colors, tracked.as_dict(),
+                self._fleet_params(), grids, refs, self._marks,
+            )
         else:
             fin = None
             blobs, det = self._step(
-                jnp.asarray(raws), packed, scales, offsets, colors,
-                tracked.as_dict(), self._fleet_params(), grids,
+                jnp.asarray(np.stack([f.data for f in frames])), packed,
+                scales, offsets, colors, tracked.as_dict(),
+                self._fleet_params(), grids,
             )
+        if fin is not None:
+            self._colors_dev = fin["colors7"]
+        return blobs, det, fin
+
+    def _dispatch_staggered(self, frames, packed, scales, offsets, colors,
+                            grids, tracked, params, refs):
+        """Per-camera core dispatch + one batched tail — semantically equal
+        to the batched step (tests/test_staggered.py) but camera c's core
+        starts as soon as ITS raw is on device: each upload overlaps the
+        previous camera's compute instead of serializing ahead of one big
+        dispatch, the latency shape bench.measure_staggered_serial
+        measures against the 5 ms frame-set budget."""
+        jax, jnp = self._jax, self._jax.numpy
+        from ..parallel.multicam import params_for_cam
+
+        outs = []
+        for c in range(self.n_cams):
+            outs.append(self._core_step(
+                jnp.asarray(frames[c].data), packed[c], scales[c],
+                offsets[c], colors[c], tracked, params_for_cam(params, c),
+                jax.tree.map(lambda x: x[c], grids),
+            ))
+        blobs, det = (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *grp)
+            for grp in zip(*outs)
+        )
+        det, fin = self._tail_step(
+            blobs, det, colors, packed, params, refs, self._marks,
+        )
         return blobs, det, fin
 
     def finish_frames(self, out, now: float, frames, stale=None):

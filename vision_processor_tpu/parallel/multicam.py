@@ -427,13 +427,20 @@ def staggered_tail_step(cfg: MultiCamConfig):
     NMS + ids (finalize_batched) and the in-graph finisher over the
     stacked per-camera core outputs. One small program dispatched after
     the last camera's core; its cost is amortized across cameras exactly
-    like in the batched step."""
+    like in the batched step.
 
-    def tail(blobs, det, colors7, packed_cams, params, colors7_refs, marks):
+    With ``marks=None`` (device_finish off) the tail is the batched
+    finalize only and ``fin`` comes back None, mirroring
+    ``batched_step_host_tracked``'s no-marks contract."""
+
+    def tail(blobs, det, colors7, packed_cams, params, colors7_refs=None,
+             marks=None):
         det, _ = finalize_batched(
             blobs, det, colors7, params["clipping_tolerance"],
             params["ball_radius"],
         )
+        if marks is None:
+            return det, None
         from ..models.device_finish import (
             finish_on_device_batched, stack_finish_params,
         )
