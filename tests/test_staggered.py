@@ -9,8 +9,10 @@ to cross-compilation reduction-order tolerance.
 
 Two layers are pinned here: the raw composition (core programs + tail ==
 one batched program) and the PRODUCTION wiring (MultiCamApp with
-VPTPU_STAGGERED=1 emits the same wire packets as the batched app,
-including through a camera outage)."""
+VPTPU_STAGGERED=1 emits the same wire packets as the batched app).
+Outage behavior is covered by tests/test_multicam_outage.py (batched
+mode) and test_soak.py's staggered parametrization (outage cycle under
+staggered dispatch)."""
 import os
 import threading
 import time

@@ -104,6 +104,11 @@ def row_topk(x: jnp.ndarray, m: int, interpret: bool = False):
     """
     if not interpret and not _use_pallas():
         return jax.lax.top_k(x, m)
+    if m > LAN:
+        # the kernel's output tile is one LAN-lane block (_select_m writes
+        # lanes [0, m)); a wider m — e.g. _compact_masked's stage(m) on a
+        # short flat field — would silently drop winners past lane LAN-1
+        return jax.lax.top_k(x, m)
     r, l = x.shape
     rp, lp = _pad_to(max(r, 1), BLK), _pad_to(max(l, LAN), LAN)
     xp = jnp.pad(
