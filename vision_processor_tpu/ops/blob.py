@@ -222,8 +222,10 @@ def _compact_masked(masked, max_blobs: int):
     ~4x cheaper than one flat-map top_k (round-2 measurement). m is sized
     4x above the uniform-spread average, so the row stage is lossless for
     every scene whose densest row holds <= m candidates; the row stage
-    runs as a Pallas in-VMEM select on TPU (ops/topk.py, lax.top_k
-    elsewhere / via VPTPU_PALLAS_TOPK=0). Exhausted rows repeat index 0,
+    runs as a Pallas in-VMEM select on TPU (ops/topk.py row_topk — the
+    single biggest op of the dense frame-set trace when sort-lowered;
+    lax.top_k elsewhere / via VPTPU_PALLAS_ROWTOPK=0). Exhausted rows
+    repeat index 0,
     so validity comes from the VALUES, never the indices.
 
     Occupancy tiers (exact, keyed on the DENSEST ROW's candidate count —

@@ -50,15 +50,32 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def _use_pallas() -> bool:
-    # Default OFF: measured on TPU v5e (experiments/topk_pallas.py +
-    # prod_stage_profile.py), the Mosaic kernels run ~0.1 ms/camera SLOWER
-    # than XLA's fused argmax/top_k formulations at production shapes —
-    # the selects are VPU-pass-bound, not map-materialization-bound, so
-    # fusing the score map into the kernel buys nothing and the pack/
-    # unpack layout ops cost extra. Kept as an opt-in (VPTPU_PALLAS_TOPK=1)
-    # for re-evaluation on other TPU generations.
+    # QUERY-SELECT gate, default OFF: measured on TPU v5e
+    # (experiments/topk_pallas.py, re-measured at the dense A=512 window
+    # in experiments/ring_select_ab.py — 0.117 vs XLA's 0.080 ms), the
+    # fused query kernel LOSES to XLA's materialized-map argmax passes;
+    # the m=8 in-VMEM select passes cost more than the map re-reads they
+    # save. Kept as an opt-in (VPTPU_PALLAS_TOPK=1) for other TPU
+    # generations. NOTE this gate no longer covers row_topk — see
+    # _use_pallas_rows.
     return (
         os.environ.get("VPTPU_PALLAS_TOPK", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _use_pallas_rows() -> bool:
+    # ROW-STAGE gate, default ON (TPU): the round-3 "Pallas topk loses"
+    # verdict was measured at BLK=8, where 54-120 block dispatches
+    # dominate. At BLK=64 the in-VMEM row select is ~free — 0.00-0.06 ms
+    # vs XLA's sort-lowered 0.10-0.19 ms per camera at every production
+    # shape (432x770/540x962, m=6/16/19; /tmp-measured 2026-08-20, see
+    # experiments/topk_pallas.py main_blk) — and bit-equal to lax.top_k.
+    # This single op was the largest item in the dense frame-set trace
+    # (0.155 ms x 4 cameras, experiments/dense_trace.py).
+    # VPTPU_PALLAS_ROWTOPK=0 restores the sort-lowered XLA path.
+    return (
+        os.environ.get("VPTPU_PALLAS_ROWTOPK", "1") != "0"
         and jax.default_backend() == "tpu"
     )
 
@@ -95,6 +112,10 @@ def _row_topk_kernel(x_ref, vals_ref, idx_ref, *, m: int):
     idx_ref[:] = idxs
 
 
+ROW_BLK = 64  # rows per block: amortizes block dispatch (BLK=8 was the
+              # reason the round-3 measurement had this kernel losing)
+
+
 def row_topk(x: jnp.ndarray, m: int, interpret: bool = False):
     """Top-m of each row of ``x`` (R, L) f32: (values, indices), both (R, m).
 
@@ -102,7 +123,7 @@ def row_topk(x: jnp.ndarray, m: int, interpret: bool = False):
     exhausted-row index caveat — identical to iter_top_k's).
     ``interpret`` forces the Pallas interpreter (kernel-logic tests off-TPU).
     """
-    if not interpret and not _use_pallas():
+    if not interpret and not _use_pallas_rows():
         return jax.lax.top_k(x, m)
     if m > LAN:
         # the kernel's output tile is one LAN-lane block (_select_m writes
@@ -110,19 +131,20 @@ def row_topk(x: jnp.ndarray, m: int, interpret: bool = False):
         # short flat field — would silently drop winners past lane LAN-1
         return jax.lax.top_k(x, m)
     r, l = x.shape
-    rp, lp = _pad_to(max(r, 1), BLK), _pad_to(max(l, LAN), LAN)
+    blk = ROW_BLK if not interpret else BLK
+    rp, lp = _pad_to(max(r, 1), blk), _pad_to(max(l, LAN), LAN)
     xp = jnp.pad(
         x.astype(jnp.float32), ((0, rp - r), (0, lp - l)),
         constant_values=-jnp.inf,
     )
     vals, idxs = pl.pallas_call(
         functools.partial(_row_topk_kernel, m=m),
-        grid=(rp // BLK,),
+        grid=(rp // blk,),
         interpret=interpret,
-        in_specs=[pl.BlockSpec((BLK, lp), lambda rb: (rb, 0))],
+        in_specs=[pl.BlockSpec((blk, lp), lambda rb: (rb, 0))],
         out_specs=[
-            pl.BlockSpec((BLK, LAN), lambda rb: (rb, 0)),
-            pl.BlockSpec((BLK, LAN), lambda rb: (rb, 0)),
+            pl.BlockSpec((blk, LAN), lambda rb: (rb, 0)),
+            pl.BlockSpec((blk, LAN), lambda rb: (rb, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rp, LAN), jnp.float32),
@@ -156,7 +178,8 @@ def _query_topk_kernel(q_ref, b_ref, vals_ref, idx_ref, *, m: int,
 
 
 def query_select_topk(query_xy, radius2, blob_xy, rank, m: int,
-                      by_rank: bool, interpret: bool = False):
+                      by_rank: bool, interpret: bool = False,
+                      force_pallas: bool = False):
     """Per query: top-m blobs within radius, best-ranked or nearest first.
 
     query_xy (Q, 2), radius2 (Q,) squared search radii, blob_xy (K, 2),
@@ -168,7 +191,7 @@ def query_select_topk(query_xy, radius2, blob_xy, rank, m: int,
     XLA fallback materializes it exactly like the previous inline code.
     """
     q, k = query_xy.shape[0], blob_xy.shape[0]
-    if not interpret and not _use_pallas():
+    if not interpret and not force_pallas and not _use_pallas():
         diff = blob_xy[None, :, :] - query_xy[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         ok = (d2 <= radius2[:, None]) & (rank[None, :] < jnp.inf)
