@@ -186,6 +186,9 @@ def build_rig(n_cams=4, width=960, height=540, max_blobs=2000, dense=False,
         "reference_force": jnp.float32(0.1),
         "history_force": jnp.float32(0.7),
         "bot_heights_yb": jnp.asarray([145.0, 145.0], dtype=jnp.float32),
+        # opt-in untracked color veto: 0 = reference-parity default; a
+        # runtime scalar so the veto-on variants re-use the compiled step
+        "color_plausibility_veto": jnp.float32(0.0),
     }
     if return_scenes:
         return (cfg, raws, packed, scales, offsets, colors, params, geometry,
@@ -249,14 +252,22 @@ def measure_device_sustained(rolls, cfg, raws, packed, scales, offsets,
     # detections from the last scanned frame
     bots_found = int(np.asarray(compact["bot_valid"][-1]).sum())
     blob_counts = np.asarray(compact["count"][-1]).tolist()
+    inner = sorted(estimates)[1:-1]
     aux = {"compact": compact, "scan50_s": t50, "bank": bank,
            "args": (packed_d, scales_d, offsets_d, colors_d, params,
                     refs, marks),
            # round-to-round dispersion of THIS run's differencing rounds,
            # published so the headline is self-qualifying (VERDICT r3
-           # item 7)
+           # item 7). ms_band is the raw min/max of the 5 rounds — a
+           # single relay hiccup can blow one round out by >1 ms, which
+           # is exactly why the headline is the MEDIAN — so the
+           # hiccup-robust inner band (middle 3 rounds) is published
+           # alongside; claims against a target use the inner band's
+           # floor
            "ms_band": [float(min(estimates)) * 1e3,
-                       float(max(estimates)) * 1e3]}
+                       float(max(estimates)) * 1e3],
+           "ms_band_inner": [float(min(inner)) * 1e3,
+                             float(max(inner)) * 1e3]}
     return per_frameset, bots_found, blob_counts, aux
 
 
@@ -319,16 +330,21 @@ def measure_dense_precision(cfg, raws, packed, scales, offsets, colors,
         cfg, packed, float(params["max_bot_height"]), scales, offsets
     )
     tracked = TrackedArrays.build({}, 0.0, cfg.det.max_tracked).as_dict()
-    blobs, det, fin = step(
-        jnp.asarray(raws), jax.device_put(packed), jax.device_put(scales),
-        jax.device_put(offsets), jax.device_put(colors), tracked, params,
-        grids, refs, marks,
-    )
+    raws_d = jnp.asarray(raws)
+    step_args = (raws_d, jax.device_put(packed), jax.device_put(scales),
+                 jax.device_put(offsets), jax.device_put(colors), tracked)
+    blobs, det, fin = step(*step_args, params, grids, refs, marks)
     blobs, det, fin = jax.device_get((blobs, det, fin))
+    # veto-on variant: same compiled step (the knob is a runtime scalar)
+    params_veto = dict(params)
+    params_veto["color_plausibility_veto"] = jnp.float32(1.0)
+    _, det_v, _ = jax.device_get(
+        step(*step_args, params_veto, grids, refs, marks))
 
     n_cams = cfg.n_cams
     dev_total = orc_total = 0
     dev_tp = orc_tp = planted_total = 0
+    veto_total = veto_tp = 0
     matched_dev = 0
     hyp_total = 0
     min_conf = float(np.max(np.asarray(params["min_confidence"])))
@@ -356,6 +372,10 @@ def measure_dense_precision(cfg, raws, packed, scales, offsets, colors,
         # search never anchored)
         matched_dev += O.match_sets(dev_pos.astype(np.float64),
                                     em["all_pos"], tol_match)
+        veto_pos = det_v["bot_pos"][c][det_v["bot_valid"][c]]
+        veto_total += len(veto_pos)
+        veto_tp += O.match_sets(veto_pos.astype(np.float64), planted,
+                                tol_planted)
     return {
         "dense_bots_device_untracked": int(dev_total),
         "dense_bots_oracle": int(orc_total),
@@ -373,7 +393,176 @@ def measure_dense_precision(cfg, raws, packed, scales, offsets, colors,
         # reference's exhaustive enumeration would
         "dense_device_to_oracle_ratio": round(
             dev_total / max(orc_total, 1), 4),
+        # opt-in color-plausibility veto (thresholds.
+        # color_plausibility_veto, off by default for parity): untracked
+        # precision with the veto on — must beat the oracle's 0.089
+        # decisively while keeping planted recall
+        "dense_bots_device_veto": int(veto_total),
+        "dense_bot_precision_veto": round(
+            veto_tp / max(veto_total, 1), 4),
+        "dense_planted_recall_veto": f"{veto_tp}/{planted_total}",
     }
+
+
+def measure_dense_tracked(cfg, raws, packed, scales, offsets, colors,
+                          params, cams, geometry, scenes, n_frames=24,
+                          tol_planted=40.0, tol_persist=60.0,
+                          veto=False, suffix=""):
+    """Steady-state TRACKED precision on the dense scene (VERDICT r4 item 3).
+
+    Runs the PRODUCTION loop — device step with tracking feedback through
+    real multicast sockets (the tracker is the wire consumer's own state,
+    net/udp.py detection_tracking), host finishing, emit — for n_frames
+    on the static dense frame-set, and measures what a consumer of the
+    wire experiences over time: per-frame precision/recall of the
+    wire-visible robots against the planted ones, and whether the noise
+    emissions persist (re-lock via the tracked tier), die out, or
+    multiply.
+
+    Noise persistence: a noise emission in frame k is 'persistent' if a
+    noise emission of the same camera sat within tol_persist in frame
+    k-1; chains surviving >= 5 frames are locked noise tracks.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vision_processor_tpu.app.processor import TrackedArrays
+    from vision_processor_tpu.parallel.multicam import (
+        batched_step_host_tracked,
+        make_resample_grids,
+    )
+
+    if veto:
+        params = dict(params)
+        params["color_plausibility_veto"] = jnp.float32(1.0)
+    step = batched_step_host_tracked(cfg)
+    procs, socks = build_processors(cfg, cams, geometry,
+                                    group="224.99.77.13" if not veto
+                                    else "224.99.77.14",
+                                    port=17773 if not veto else 17774)
+
+    from vision_processor_tpu.models.device_finish import pack_field_marks
+
+    marks_one = pack_field_marks(
+        procs[0].perspective.field, procs[0].config.geometry_tolerance
+    )
+    marks = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *([marks_one] * len(procs))
+    )
+    refs = jnp.asarray(np.stack([p.colors.packed_refs() for p in procs]))
+
+    packed_d = jax.device_put(packed)
+    scales_d = jax.device_put(scales)
+    offsets_d = jax.device_put(offsets)
+    grids = make_resample_grids(
+        cfg, packed, float(params["max_bot_height"]), scales, offsets
+    )
+    raws_d = jnp.asarray(raws)
+
+    planted = [
+        np.asarray([[b.x, b.y] for b in s.bots], dtype=np.float64)
+        for s in scenes
+    ]
+    n_cams = cfg.n_cams
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(len(procs))
+
+    def one_frame(i):
+        now = i * 0.01
+        tracked = TrackedArrays.build(
+            socks[0].get_tracked_objects(), now, cfg.det.max_tracked
+        ).as_dict()
+        colors_now = jnp.asarray(
+            np.stack([p.colors.packed() for p in procs]))
+        out = step(raws_d, packed_d, scales_d, offsets_d, colors_now,
+                   tracked, params, grids, refs, marks)
+        blobs, det, fin = jax.device_get(out)
+        emitted = [None] * n_cams
+
+        def finish(c):
+            per_cam = ({k: v[c] for k, v in blobs.items()},
+                       {k: v[c] for k, v in det.items()},
+                       {k: v[c] for k, v in fin.items()})
+            wrapper, _, _ = procs[c].finish_frame(per_cam, now, now)
+            wrapper.detection.t_sent = time.time()
+            socks[c].send(wrapper)
+            pos = [(r.x, r.y) for r in
+                   list(wrapper.detection.robots_yellow)
+                   + list(wrapper.detection.robots_blue)]
+            emitted[c] = np.asarray(pos, dtype=np.float64).reshape(-1, 2)
+
+        list(pool.map(finish, range(n_cams)))
+        # let the multicast loopback deliver before the next frame builds
+        # its tracking state (the receiver thread parses asynchronously)
+        time.sleep(0.02)
+        return emitted
+
+    one_frame(0)  # warm compile (step is cached from the sustained scan)
+    per_frame = []
+    prev_noise = [np.zeros((0, 2))] * n_cams
+    chains = [np.zeros(0, dtype=np.int64)] * n_cams  # age per noise track
+    locked_ages = []
+    for i in range(n_frames):
+        emitted = one_frame(i + 1)
+        tp = emit = noise_n = persist_n = 0
+        new_prev, new_chains = [], []
+        for c in range(n_cams):
+            pos = emitted[c]
+            emit += len(pos)
+            if len(pos) and len(planted[c]):
+                d = np.linalg.norm(
+                    pos[:, None, :] - planted[c][None, :, :], axis=-1)
+                is_tp = d.min(axis=1) < tol_planted
+                # recall counts planted robots matched by any emission
+                tp += int((d.min(axis=0) < tol_planted).sum())
+            else:
+                is_tp = np.zeros(len(pos), dtype=bool)
+            noise = pos[~is_tp]
+            noise_n += len(noise)
+            age = np.zeros(len(noise), dtype=np.int64)
+            if len(noise) and len(prev_noise[c]):
+                dn = np.linalg.norm(
+                    noise[:, None, :] - prev_noise[c][None, :, :], axis=-1)
+                j = dn.argmin(axis=1)
+                hit = dn[np.arange(len(noise)), j] < tol_persist
+                age[hit] = chains[c][j[hit]] + 1
+                persist_n += int(hit.sum())
+            new_prev.append(noise)
+            new_chains.append(age)
+        prev_noise, chains = new_prev, new_chains
+        locked = sum(int((a >= 5).sum()) for a in chains)
+        locked_ages.append(locked)
+        planted_total = sum(len(p) for p in planted)
+        per_frame.append({
+            "emit": emit, "tp_recall": tp, "noise": noise_n,
+            "persist": persist_n, "locked": locked,
+            "precision": round((emit - noise_n) / max(emit, 1), 4),
+            "recall": f"{tp}/{planted_total}",
+        })
+
+    for s in socks:
+        s.close()
+    last = per_frame[-1]
+    noise_counts = [f["noise"] for f in per_frame]
+    out = {
+        "dense_tracked_frames": n_frames,
+        "dense_precision_tracked_t20": last["precision"],
+        "dense_recall_tracked_t20": last["recall"],
+        "dense_noise_first_frame": per_frame[0]["noise"],
+        "dense_noise_last_frame": last["noise"],
+        "dense_noise_mean_per_frame": round(
+            float(np.mean(noise_counts)), 1),
+        # noise emissions whose track survived >= 5 consecutive frames at
+        # the end of the rollout (tracked-tier lock-in on a noise
+        # constellation)
+        "dense_noise_locked_tracks_final": last["locked"],
+        "dense_noise_persist_fraction": round(
+            float(np.mean([f["persist"] / max(f["noise"], 1)
+                           for f in per_frame[1:]])), 3),
+    }
+    return {k + suffix: v for k, v in out.items()}
 
 
 def measure_staggered_serial(cfg, raws, packed, scales, offsets, colors,
@@ -717,6 +906,11 @@ def main(resample_mode: str = "warp"):
     rig_dense = build_rig(dense=True, dense_blobs=1900,
                           resampling_factor=FACTOR, return_scenes=True,
                           resample_mode=resample_mode)
+    # dense at factor 1.0 too: deployments pinned to factor 1.0 for
+    # small-ball fidelity need a worst-case-load number as well
+    rig_dense_f1 = build_rig(dense=True, dense_blobs=1900,
+                             resampling_factor=1.0, return_scenes=True,
+                             resample_mode=resample_mode)
     cfg, raws, packed, scales, offsets, colors, params, geometry, cams = rig
     _ = np.asarray(jnp.ones((8, 128)) * 2.0)  # force relay eager mode
     print("bench: rigs ready", file=sys.stderr, flush=True)
@@ -755,9 +949,30 @@ def main(resample_mode: str = "warp"):
           file=sys.stderr, flush=True)
 
     rolls_f1 = build_rollouts(rig_f1[0])
-    dev_f1_ms, bots_f1, _, _ = measure_device_sustained(
+    dev_f1_ms, bots_f1, _, aux_f1 = measure_device_sustained(
         rolls_f1, rig_f1[0], rig_f1[1], *rig_f1[2:7], refs, marks)
     print("bench: factor-1.0 sustained done", file=sys.stderr, flush=True)
+
+    # dense at factor 1.0 (same static shapes as rig_f1 -> compile reuse)
+    dev_dense_f1_ms, _, _, aux_df1 = measure_device_sustained(
+        rolls_f1, rig_dense_f1[0], rig_dense_f1[1], *rig_dense_f1[2:7],
+        refs, marks)
+    dense_f1_found, dense_f1_total = bot_recall(
+        aux_df1["compact"], rig_dense_f1[9])
+    print(f"bench: dense factor-1.0 sustained done "
+          f"(recall {dense_f1_found}/{dense_f1_total})",
+          file=sys.stderr, flush=True)
+
+    dense_tracked = measure_dense_tracked(
+        cfg_d, raws_d, *rig_dense[2:7], rig_dense[8], rig_dense[7],
+        rig_dense[9])
+    print(f"bench: dense tracked rollout done ({dense_tracked})",
+          file=sys.stderr, flush=True)
+    dense_tracked_veto = measure_dense_tracked(
+        cfg_d, raws_d, *rig_dense[2:7], rig_dense[8], rig_dense[7],
+        rig_dense[9], veto=True, suffix="_veto")
+    print(f"bench: dense tracked veto rollout done ({dense_tracked_veto})",
+          file=sys.stderr, flush=True)
 
     overlap_frac, upload_meas_s = measure_upload_overlap(
         rolls[50], aux["bank"],
@@ -820,6 +1035,14 @@ def main(resample_mode: str = "warp"):
         ]
 
     fps_band_rounds = band_to_fps(aux["ms_band"])
+    fps_band_rounds_inner = band_to_fps(aux["ms_band_inner"])
+    # factor-1.0 dispersion band (VERDICT r4 item 2): the SAME five
+    # differencing rounds the f1 headline is the median of, published so
+    # the >=800 claim carries its own spread instead of a point estimate;
+    # the inner band drops the single best and worst round (relay
+    # hiccups corrupt individual differencing rounds by >1 ms)
+    fps_band_rounds_f1 = band_to_fps(aux_f1["ms_band"])
+    fps_band_rounds_f1_inner = band_to_fps(aux_f1["ms_band_inner"])
     hist_path = "BENCH_HISTORY.jsonl"
     history = []
     try:
@@ -853,8 +1076,13 @@ def main(resample_mode: str = "warp"):
                 dev_f1_ms * 1e3, 3),
             "fps_pipelined_factor1": round(
                 n_cams / (max(dev_f1_ms * 1e3 + upload_eff_ms, host_ms) / 1e3), 1),
+            "fps_band_rounds_factor1": fps_band_rounds_f1,
+            "fps_band_rounds_factor1_inner": fps_band_rounds_f1_inner,
             "bots_found_factor1": bots_f1,
             "ms_per_4cam_frameset_device_sustained_dense": round(dev_dense_ms * 1e3, 3),
+            "ms_per_4cam_frameset_device_sustained_dense_factor1": round(
+                dev_dense_f1_ms * 1e3, 3),
+            "dense_bot_recall_factor1": f"{dense_f1_found}/{dense_f1_total}",
             "ms_host_finishing_per_frameset": round(host_ms, 3),
             "ms_upload_per_frameset_via_relay_tunnel": round(upload_ms, 3),
             "ms_upload_per_frameset_direct_est_4GBps": round(upload_direct_ms, 3),
@@ -898,7 +1126,14 @@ def main(resample_mode: str = "warp"):
             # robots, plus the fraction of device emissions the oracle
             # also emits (and the reverse)
             **dense_quality,
+            # steady-state tracked behavior on the dense scene (VERDICT
+            # r4 item 3): what a wire consumer sees over a >=20-frame
+            # production rollout with tracking feedback; the _veto set
+            # repeats it with thresholds.color_plausibility_veto on
+            **dense_tracked,
+            **dense_tracked_veto,
             "fps_band_rounds": fps_band_rounds,
+            "fps_band_rounds_inner": fps_band_rounds_inner,
             "fps_band_recent_runs": [min(recent), max(recent)],
             "n_recent_runs": len(recent),
             "upload_overlap_fraction_measured": round(overlap_frac, 3),
@@ -922,7 +1157,12 @@ def main(resample_mode: str = "warp"):
             fh.write(json.dumps({"fps": round(fps_pipelined, 1),
                                  "ms_device": round(dev_frameset_ms, 3),
                                  "factor1_fps": result["detail"][
-                                     "fps_pipelined_factor1"]}) + "\n")
+                                     "fps_pipelined_factor1"],
+                                 "factor1_band": fps_band_rounds_f1,
+                                 "factor1_band_inner":
+                                     fps_band_rounds_f1_inner,
+                                 "dense_ms": round(dev_dense_ms * 1e3, 3)
+                                 }) + "\n")
     except OSError:
         pass
     print(json.dumps(result))

@@ -33,7 +33,8 @@ MIN_CONFIDENCE = 0.2
 CLIPPING_TOLERANCE = 10.0
 
 
-def _device_emissions(pos, col, valid, packed_colors):
+def _device_emissions(pos, col, valid, packed_colors, veto=False,
+                      center=None):
     import jax.numpy as jnp
 
     n = len(pos)
@@ -41,6 +42,7 @@ def _device_emissions(pos, col, valid, packed_colors):
     blobs = {
         "field_pos": jnp.asarray(pos),
         "color": jnp.asarray(col),
+        "center": jnp.asarray(col if center is None else center),
         "valid": jnp.asarray(valid),
     }
     t = cfg.max_tracked
@@ -60,6 +62,8 @@ def _device_emissions(pos, col, valid, packed_colors):
         "clipping_tolerance": jnp.float32(CLIPPING_TOLERANCE),
         "ball_radius": jnp.float32(21.5),
     }
+    if veto:
+        params["color_plausibility_veto"] = jnp.float32(1.0)
     cam = np.zeros(18, dtype=np.float32)
     cam[0] = 900.0
     cam[4] = 1.0
@@ -112,6 +116,58 @@ def test_emitted_set_matches_uncapped_oracle_dense():
     dev_tp = O.match_sets(dev_pos, planted.astype(np.float64), tol_mm=40.0)
     orc_tp = O.match_sets(em["pos"], planted.astype(np.float64), tol_mm=40.0)
     assert dev_tp == orc_tp == len(planted)
+
+
+def test_color_veto_suppresses_ball_noise_keeps_planted():
+    """thresholds.color_plausibility_veto (opt-in, VERDICT r4 item 3):
+    noise constellations built from BALL-colored blobs must vanish from
+    the wire while every planted robot survives — the veto is recall-safe
+    (sides-are-orange evidence only, see detector.color_implausible) and
+    decisively beats the geometry-only precision on ball clutter."""
+    rng = np.random.default_rng(31)
+    packed_colors, pos, col, valid, anchors, bot_truth = build_scene(
+        rng, n_bots=8, n_spurious=1560
+    )
+    # recolor the spurious blobs to ball orange (the clutter the veto
+    # targets); real pattern blobs sit at the tail of the slot order
+    orange = packed_colors[0]
+    n_real = 5 * len(bot_truth)
+    col = col.copy()
+    col[:-n_real] = orange + rng.normal(0, 2, (len(col) - n_real, 3))
+    base_pos, _ = _device_emissions(pos, col, valid, packed_colors)
+    veto_pos, _ = _device_emissions(pos, col, valid, packed_colors,
+                                    veto=True)
+
+    planted = np.asarray([c for _, c, _ in bot_truth])
+    for p in planted:
+        assert np.min(np.linalg.norm(veto_pos - p, axis=-1)) < 5.0, (
+            f"veto dropped planted robot at {p}"
+        )
+
+    tp = O.match_sets(veto_pos, planted.astype(np.float64), tol_mm=40.0)
+    assert tp == len(planted)
+    assert len(veto_pos) < len(base_pos)
+    noise = len(veto_pos) - tp
+    assert noise == 0, (
+        f"{noise} non-planted emissions survived the color veto"
+    )
+
+
+def test_color_veto_leaves_field_clutter_alone():
+    """Recall-safety design: non-ball clutter (field-colored blobs — what
+    carpet-diluted TRUE pattern blobs alias with before the adaptive
+    colors settle) is deliberately NOT vetoed; the veto must be a no-op
+    on the original field-noise scene."""
+    rng = np.random.default_rng(31)
+    packed_colors, pos, col, valid, anchors, bot_truth = build_scene(
+        rng, n_bots=8, n_spurious=1560
+    )
+    base_pos, base_score = _device_emissions(pos, col, valid,
+                                             packed_colors)
+    veto_pos, veto_score = _device_emissions(pos, col, valid,
+                                             packed_colors, veto=True)
+    assert np.array_equal(base_pos, veto_pos)
+    assert np.array_equal(base_score, veto_score)
 
 
 def test_oracle_emission_is_reference_scored():

@@ -305,13 +305,19 @@ def test_soak_stability(tmp_path, monkeypatch, mode):
         f"live jax arrays grew {warm_live} -> {end_live}"
     )
     # (2) RSS slope over the second half of the run below the measured
-    # ambient native-churn ceiling
+    # ambient native-churn ceiling. Only meaningful in a quiet process:
+    # inside the full suite the interpreter already holds gigabytes of
+    # other tests' allocator arenas whose reuse/release swings RSS by
+    # hundreds of MB, making the fit noise (observed: +128 KB/fs fitted
+    # on a window that NET SHRANK 55 MB). The live-array gate above is
+    # the process-size-independent detector and always runs.
     assert len(rss_samples) >= N_FRAMES - len(OUTAGE)
     window = np.asarray(rss_samples[len(rss_samples) // 2:],
                         dtype=np.float64)
-    x = np.arange(len(window), dtype=np.float64)
-    slope_kb = float(np.polyfit(x, window, 1)[0]) * 1e3
-    assert slope_kb < 48.0, (
-        f"RSS slope {slope_kb:.1f} KB/frame-set over the late window "
-        f"({window[0]:.0f} -> {window[-1]:.0f} MB)"
-    )
+    if window[0] < 2048.0:
+        x = np.arange(len(window), dtype=np.float64)
+        slope_kb = float(np.polyfit(x, window, 1)[0]) * 1e3
+        assert slope_kb < 48.0, (
+            f"RSS slope {slope_kb:.1f} KB/frame-set over the late window "
+            f"({window[0]:.0f} -> {window[-1]:.0f} MB)"
+        )

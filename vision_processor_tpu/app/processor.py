@@ -280,6 +280,10 @@ class Processor:
             "max_bot_acceleration": jnp.float32(self.config.max_bot_acceleration),
             "min_confidence": jnp.float32(self.config.min_confidence),
             "clipping_tolerance": jnp.float32(self.config.clipping_tolerance),
+            # 0/1 runtime scalar: the opt-in untracked color veto
+            # (hot-reloadable like every threshold; no recompile)
+            "color_plausibility_veto": jnp.float32(
+                1.0 if self.config.color_plausibility_veto else 0.0),
             "ball_radius": jnp.float32(field.ball_radius or 21.5),
             # in-graph finishing (models/device_finish.py)
             "min_score": jnp.float32(self.config.min_score),

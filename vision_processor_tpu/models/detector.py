@@ -426,7 +426,10 @@ def _window_hypotheses(cfg, blob_pos, blob_valid, max_robot_radius, rank,
 
     # gather each anchor's ring positions once (A*K indices); everything
     # per-combo is then one-hot MXU contractions against the static combo
-    # tables — no (A, C, ...) gathers. Scores match the pairwise form
+    # tables — no (A, C, ...) gathers. A fused-VMEM Pallas form of the
+    # score chain exists (ops/combo_pallas.py) but measured ~0.06 ms per
+    # frame-set SLOWER than the XLA chain — opt-in VPTPU_COMBO_KERNEL=1,
+    # default off. Scores match the pairwise form
     # within fp reassociation (~1e-5), so only exact score TIES between
     # combos (near-symmetric degenerate rings) can pick a different
     # rotation of the same constellation; measured ~0.2 ms/camera cheaper
@@ -445,49 +448,77 @@ def _window_hypotheses(cfg, blob_pos, blob_valid, max_robot_radius, rank,
     )  # (A, 2*n9*n9)
 
     hi = jax.lax.Precision.HIGHEST
-    dot = lambda x, w: jax.lax.dot_general(
-        x, jnp.asarray(w), (((1,), (0,)), ((), ())), precision=hi
-    )
-    o_cos = dot(u2, w_cos)  # (A, C)
-    o_sin = dot(u2, w_sin)
-    norm2 = o_cos * o_cos + o_sin * o_sin
-    ok_n = norm2 > 0.0
-    inv_n = jnp.where(ok_n, jax.lax.rsqrt(jnp.maximum(norm2, 1e-30)), 0.0)
-    cc = jnp.where(ok_n, o_cos * inv_n, 1.0)
-    ss = o_sin * inv_n
-
-    # position = mean over slots of (blob - rotated pattern)
     pat = np.asarray(PATTERN_POS, dtype=np.float32)
     pbar = pat.sum(axis=0)
-    sum_x = dot(ring9[..., 0], count9)
-    sum_y = dot(ring9[..., 1], count9)
-    pos_x = (sum_x - (cc * pbar[0] - ss * pbar[1])) / 5.0
-    pos_y = (sum_y - (ss * pbar[0] + cc * pbar[1])) / 5.0
 
-    # min slot score (all 5 slots occupied on the detection path)
-    offset_score = None
-    for s5 in range(5):
-        if s5 == 0:
-            p5x = anchor_pos[:, 0:1]
-            p5y = anchor_pos[:, 1:2]
-        else:
-            p5x = dot(ring9[..., 0], onehot_slot[s5 - 1].T)
-            p5y = dot(ring9[..., 1], onehot_slot[s5 - 1].T)
-        dx = (p5x - (pos_x + (cc * pat[s5, 0] - ss * pat[s5, 1]))) / 10.0
-        dy = (p5y - (pos_y + (ss * pat[s5, 0] + cc * pat[s5, 1]))) / 10.0
-        sc = 1.0 / (1.0 + dx * dx + dy * dy)
-        offset_score = sc if offset_score is None else jnp.minimum(
-            offset_score, sc
+    from ..ops.combo_pallas import combo_chain, use_combo_kernel
+
+    if use_combo_kernel():
+        # fused VMEM chain (ops/combo_pallas.py): tables padded to a
+        # 128-multiple combo axis so the matmul outputs are born
+        # lane-aligned; the elementwise chain + argmax never touch HBM
+        c_real = combos_np.shape[0]
+        cp = -(-c_real // 128) * 128
+        padc = lambda t: np.pad(np.asarray(t), ((0, 0), (0, cp - c_real)))
+        dotp = lambda x, w: jax.lax.dot_general(
+            x, jnp.asarray(padc(w)), (((1,), (0,)), ((), ())), precision=hi
         )
+        o_cos = dotp(u2, w_cos)   # (A, CP)
+        o_sin = dotp(u2, w_sin)
+        sum_x = dotp(ring9[..., 0], count9)
+        sum_y = dotp(ring9[..., 1], count9)
+        p5xs = [dotp(ring9[..., 0], onehot_slot[s].T) for s in range(4)]
+        p5ys = [dotp(ring9[..., 1], onehot_slot[s].T) for s in range(4)]
+        best_score, cc_w, ss_w, posx_w, posy_w, best = combo_chain(
+            o_cos, o_sin, sum_x, sum_y, p5xs, p5ys, anchor_pos,
+            ring_count, anchor_valid, combo_max, c_real, pat, pbar,
+        )
+        best_orient = jnp.arctan2(ss_w, cc_w)
+        best_pos = jnp.stack([posx_w, posy_w], axis=-1)
+    else:
+        dot = lambda x, w: jax.lax.dot_general(
+            x, jnp.asarray(w), (((1,), (0,)), ((), ())), precision=hi
+        )
+        o_cos = dot(u2, w_cos)  # (A, C)
+        o_sin = dot(u2, w_sin)
+        norm2 = o_cos * o_cos + o_sin * o_sin
+        ok_n = norm2 > 0.0
+        inv_n = jnp.where(
+            ok_n, jax.lax.rsqrt(jnp.maximum(norm2, 1e-30)), 0.0)
+        cc = jnp.where(ok_n, o_cos * inv_n, 1.0)
+        ss = o_sin * inv_n
 
-    score = jnp.where(combo_ok, offset_score, 0.0)
+        # position = mean over slots of (blob - rotated pattern)
+        sum_x = dot(ring9[..., 0], count9)
+        sum_y = dot(ring9[..., 1], count9)
+        pos_x = (sum_x - (cc * pbar[0] - ss * pbar[1])) / 5.0
+        pos_y = (sum_y - (ss * pbar[0] + cc * pbar[1])) / 5.0
 
-    best = jnp.argmax(score, axis=-1)  # (A,)
-    take = lambda arr: jnp.take_along_axis(arr, best[:, None], axis=1)[:, 0]
-    best_score = take(score)
-    # one atan2 per anchor, on the winning combo only
-    best_orient = jnp.arctan2(take(ss), take(cc))
-    best_pos = jnp.stack([take(pos_x), take(pos_y)], axis=-1)
+        # min slot score (all 5 slots occupied on the detection path)
+        offset_score = None
+        for s5 in range(5):
+            if s5 == 0:
+                p5x = anchor_pos[:, 0:1]
+                p5y = anchor_pos[:, 1:2]
+            else:
+                p5x = dot(ring9[..., 0], onehot_slot[s5 - 1].T)
+                p5y = dot(ring9[..., 1], onehot_slot[s5 - 1].T)
+            dx = (p5x - (pos_x + (cc * pat[s5, 0] - ss * pat[s5, 1]))) / 10.0
+            dy = (p5y - (pos_y + (ss * pat[s5, 0] + cc * pat[s5, 1]))) / 10.0
+            sc = 1.0 / (1.0 + dx * dx + dy * dy)
+            offset_score = sc if offset_score is None else jnp.minimum(
+                offset_score, sc
+            )
+
+        score = jnp.where(combo_ok, offset_score, 0.0)
+
+        best = jnp.argmax(score, axis=-1)  # (A,)
+        take = lambda arr: jnp.take_along_axis(
+            arr, best[:, None], axis=1)[:, 0]
+        best_score = take(score)
+        # one atan2 per anchor, on the winning combo only
+        best_orient = jnp.arctan2(take(ss), take(cc))
+        best_pos = jnp.stack([take(pos_x), take(pos_y)], axis=-1)
     # winner side blobs: static combo lookup, then the winner's ring slots
     best_combo = jnp.asarray(combos_np)[best]  # (A, 4) ring slot indices
     best_sides = jnp.take_along_axis(ring_idx, best_combo, axis=1)
@@ -803,6 +834,58 @@ def clipping_nms(pos, orient, score, valid, clipping_tolerance):
     return kept
 
 
+def color_implausible(blob_color, blob_center, colors, blob_idx5):
+    """(B, 5) constellation blob indices -> (B,) bool: the constellation
+    is built from BALLS, not robot pattern blobs.
+
+    Classify each blob by its nearest color in the 6-color table (orange,
+    field, yellow, blue, green, pink — the same nearest-class rule the
+    host classifier uses), using BOTH the disc-mean color and the center
+    pixel color. A constellation is implausible iff the center blob is
+    not team-classified in either table AND at least 3 of its 4 side
+    blobs classify as ORANGE in both tables.
+
+    The ball-colored-SIDES criterion is the load-bearing choice: in SSL
+    nothing on a robot top is orange, so a hypothesis whose sides are
+    balls is physically not a robot — while any rule keyed on sides
+    looking PATTERN-colored is recall-unsafe before the adaptive colors
+    settle (measured on the dense bench scene with reference colors:
+    carpet-diluted yellow centers classify as orange — yellow->field
+    dilution passes exactly through orange — and diluted green/pink
+    sides classify as field, so a "sides must look green/pink" rule
+    vetoed 8 of 16 planted robots on frame 0; the sides-are-orange rule
+    vetoes 0 of 16 planted and all 90 ball-cluster noise constellations
+    with either color table, adapted or not).
+
+    Used by the OPT-IN untracked-emission veto
+    (``thresholds.color_plausibility_veto``): the reference's
+    DetectionBotHypothesis scores geometry only (reference
+    src/blobs/hypothesis.cpp:97-205 — color enters detection scoring
+    nowhere), so strict parity keeps this off; enabling it suppresses
+    the ball-built noise constellations a dense scene produces
+    (measured: oracle precision 0.089 on ~1430-blob scenes) without
+    touching tracked emissions, whose color veto the reference already
+    has (src/blobs/hypothesis.cpp:245-270). Non-ball clutter (field
+    texture, line fragments) is deliberately NOT vetoed — those blobs
+    are exactly what diluted true pattern blobs alias with.
+    """
+    safe = jnp.maximum(blob_idx5, 0)
+
+    def classify(table):
+        c = table[safe]                                      # (B, 5, 3)
+        d = jnp.sum(
+            (c[:, :, None, :] - colors[None, None, :, :]) ** 2, axis=-1
+        )                                                    # (B, 5, 6)
+        return jnp.argmin(d, axis=-1)                        # (B, 5)
+
+    cls_d = classify(blob_color)
+    cls_p = classify(blob_center)
+    team_d = (cls_d[:, 0] == 2) | (cls_d[:, 0] == 3)
+    team_p = (cls_p[:, 0] == 2) | (cls_p[:, 0] == 3)
+    ball_side = (cls_d[:, 1:] == 0) & (cls_p[:, 1:] == 0)
+    return ~(team_d | team_p) & (jnp.sum(ball_side, axis=-1) >= 3)
+
+
 # ---------------------------------------------------------------------------
 # full detector step
 # ---------------------------------------------------------------------------
@@ -834,6 +917,20 @@ def detect(
         cfg, blob_pos, blob_valid, params["max_robot_radius"],
         blob_color=blob_color, colors=colors,
     )
+    # opt-in color-plausibility veto on UNTRACKED hypotheses (see
+    # color_implausible): the key's absence keeps the old pytree (no
+    # retrace for existing callers); its value is a runtime 0/1 scalar so
+    # toggling it never recompiles
+    veto_knob = params.get("color_plausibility_veto")
+    if veto_knob is not None:
+        vetoed = (jnp.asarray(veto_knob) > 0.5) & color_implausible(
+            blob_color, blobs["center"], colors, det["blob_idx"]
+        )
+        det = {
+            **det,
+            "score": jnp.where(vetoed, 0.0, det["score"]),
+            "valid": det["valid"] & ~vetoed,
+        }
     trk = tracked_hypotheses(
         cfg,
         blob_pos,

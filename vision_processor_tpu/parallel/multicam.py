@@ -43,6 +43,7 @@ _PER_CAMERA_PARAM_KEYS = frozenset({
     "max_bot_acceleration",
     "min_confidence",
     "clipping_tolerance",
+    "color_plausibility_veto",
     # in-graph finishing tunables (models/device_finish.py)
     "min_score",
     "min_cam_edge_distance",

@@ -71,6 +71,11 @@ class VisionConfig:
     resampling_factor: float = 1.0
     clipping_tolerance: float = 10.0
     geometry_tolerance: float = 10.0
+    # opt-in color-plausibility veto on untracked emissions (see
+    # models/detector.color_implausible). Off by default for strict
+    # parity: the reference's detection scoring is geometry-only
+    # (reference src/blobs/hypothesis.cpp:97-205)
+    color_plausibility_veto: bool = False
     # "auto": two-pass Pallas warp resample when the geometry admits it
     # (ops/warp.py warp_fits), else the XLA gather; "gather"/"warp" force
     resample_mode: str = "auto"
@@ -223,6 +228,8 @@ class VisionConfig:
         self.min_cam_edge_distance = _get(th, "min_cam_edge_distance", 170.0)
         self.resampling_factor = _get(th, "resampling_factor", 1.0)
         self.clipping_tolerance = _get(th, "clipping_tolerance", 10.0)
+        self.color_plausibility_veto = bool(
+            _get(th, "color_plausibility_veto", False))
         self.resample_mode = str(_get(th, "resample_mode", "auto"))
         # VPTPU_DEVICE_FINISH env overrides the config (ops escape hatch
         # to fall back to host finishing without touching config files)
