@@ -50,16 +50,16 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def _use_pallas() -> bool:
-    # QUERY-SELECT gate, default OFF: measured on TPU v5e
-    # (experiments/topk_pallas.py, re-measured at the dense A=512 window
-    # in experiments/ring_select_ab.py — 0.117 vs XLA's 0.080 ms), the
-    # fused query kernel LOSES to XLA's materialized-map argmax passes;
-    # the m=8 in-VMEM select passes cost more than the map re-reads they
-    # save. Kept as an opt-in (VPTPU_PALLAS_TOPK=1) for other TPU
-    # generations. NOTE this gate no longer covers row_topk — see
-    # _use_pallas_rows.
+    # QUERY-SELECT gate, default ON (TPU): like row_topk, the round-3
+    # "loses ~0.1 ms" verdict was a BLK=8 artifact (64 block dispatches
+    # for the A=512 ring window). At the shared 64-row block the fused
+    # kernel beats XLA's materialized-map argmax passes at the dense
+    # ring window — 0.01-0.04 vs 0.05-0.12 ms
+    # (experiments/ring_select_ab.py re-run after the re-block) — and is
+    # noise-level at the tiny tracked window. VPTPU_PALLAS_TOPK=0
+    # restores the XLA formulation (every non-TPU backend keeps it).
     return (
-        os.environ.get("VPTPU_PALLAS_TOPK", "0") == "1"
+        os.environ.get("VPTPU_PALLAS_TOPK", "1") != "0"
         and jax.default_backend() == "tpu"
     )
 
@@ -209,7 +209,8 @@ def query_select_topk(query_xy, radius2, blob_xy, rank, m: int,
             cur = jnp.where(iota == i[..., None], -jnp.inf, cur)
         return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
-    qp = _pad_to(max(q, 1), BLK)
+    qblk = ROW_BLK if not interpret else BLK
+    qp = _pad_to(max(q, 1), qblk)
     kp = _pad_to(max(k, 1), LAN)
     qpack = jnp.zeros((qp, LAN), jnp.float32)
     qpack = qpack.at[:q, 0].set(query_xy[:, 0])
@@ -217,21 +218,21 @@ def query_select_topk(query_xy, radius2, blob_xy, rank, m: int,
     # padded queries keep radius2 == 0; a real blob exactly at the origin
     # could "match" (d2 == 0 <= 0), but padded rows are sliced off below
     qpack = qpack.at[:q, 2].set(radius2)
-    bpack = jnp.full((BLK, kp), jnp.inf, jnp.float32)
+    bpack = jnp.full((qblk, kp), jnp.inf, jnp.float32)
     bpack = bpack.at[0, :k].set(blob_xy[:, 0])
     bpack = bpack.at[1, :k].set(blob_xy[:, 1])
     bpack = bpack.at[2, :k].set(rank)  # padded lanes stay rank=+inf
     vals, idxs = pl.pallas_call(
         functools.partial(_query_topk_kernel, m=m, by_rank=by_rank),
-        grid=(qp // BLK,),
+        grid=(qp // qblk,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((BLK, LAN), lambda qb: (qb, 0)),
-            pl.BlockSpec((BLK, kp), lambda qb: (0, 0)),
+            pl.BlockSpec((qblk, LAN), lambda qb: (qb, 0)),
+            pl.BlockSpec((qblk, kp), lambda qb: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((BLK, LAN), lambda qb: (qb, 0)),
-            pl.BlockSpec((BLK, LAN), lambda qb: (qb, 0)),
+            pl.BlockSpec((qblk, LAN), lambda qb: (qb, 0)),
+            pl.BlockSpec((qblk, LAN), lambda qb: (qb, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((qp, LAN), jnp.float32),
