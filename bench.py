@@ -1161,7 +1161,13 @@ def main(resample_mode: str = "warp"):
                                  "factor1_band": fps_band_rounds_f1,
                                  "factor1_band_inner":
                                      fps_band_rounds_f1_inner,
-                                 "dense_ms": round(dev_dense_ms * 1e3, 3)
+                                 "dense_ms": round(dev_dense_ms * 1e3, 3),
+                                 # host finishing is ambient-CPU-load
+                                 # sensitive on this shared machine and
+                                 # clamps fps when inflated past the
+                                 # device time — recorded so a polluted
+                                 # run is self-evident in the history
+                                 "host_ms": round(host_ms, 3)
                                  }) + "\n")
     except OSError:
         pass

@@ -69,8 +69,8 @@ def _use_pallas_rows() -> bool:
     # verdict was measured at BLK=8, where 54-120 block dispatches
     # dominate. At BLK=64 the in-VMEM row select is ~free — 0.00-0.06 ms
     # vs XLA's sort-lowered 0.10-0.19 ms per camera at every production
-    # shape (432x770/540x962, m=6/16/19; /tmp-measured 2026-08-20, see
-    # experiments/topk_pallas.py main_blk) — and bit-equal to lax.top_k.
+    # shape (432x770/540x962, m=6/16/19 — experiments/rowtopk_blk.py)
+    # — and bit-equal to lax.top_k.
     # This single op was the largest item in the dense frame-set trace
     # (0.155 ms x 4 cameras, experiments/dense_trace.py).
     # VPTPU_PALLAS_ROWTOPK=0 restores the sort-lowered XLA path.
